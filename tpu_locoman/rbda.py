@@ -1,0 +1,459 @@
+"""Rigid-body dynamics algorithms in pure JAX.
+
+TPU-native replacement for the Pinocchio C++ kernels the reference drives
+symbolically through CasADi (see /root/reference/dynamics/*.py): forward
+kinematics, frame placements/velocities/Jacobians, CRBA, RNEA with external
+frame forces, ABA, nonLinearEffects, centerOfMass, the centroidal momentum
+matrix (ccrba) and its time derivative (dccrba).
+
+Design notes (TPU-first):
+- the kinematic topology is static per robot (13-19 movable joints), so all
+  recursions unroll at trace time into straight-line jnp code; model arrays
+  are host numpy and become XLA constants;
+- everything is written for a single (q, v, ...) sample and batched with
+  vmap, which turns the small 3x3/6x6 algebra into large batched GEMMs;
+- spatial (motion/force) vectors are ordered [linear, angular] and expressed
+  in the LOCAL joint frame, matching Pinocchio conventions, so the
+  reference's formulas port one-to-one;
+- derivatives come from jax autodiff (jacfwd/jvp), replacing CasADi AD.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .lie import skew, integrate_q
+
+GRAVITY = 9.81
+
+
+# ---------------------------------------------------------------------------
+# Spatial algebra helpers. A transform T = (R, p) places frame B in frame A
+# (world_x = R @ local_x + p). Motion m = [v, w]; force f = [f, tau].
+# ---------------------------------------------------------------------------
+
+def motion_act(R, p, m):
+    """Express local motion m (in B) in frame A, T_AB = (R, p)."""
+    w = R @ m[3:]
+    v = R @ m[:3] + jnp.cross(p, w)
+    return jnp.concatenate([v, w])
+
+
+def motion_act_inv(R, p, m):
+    """Express motion m (in A) in frame B."""
+    w = R.T @ m[3:]
+    v = R.T @ (m[:3] - jnp.cross(p, m[3:]))
+    return jnp.concatenate([v, w])
+
+
+def force_act(R, p, f):
+    """Express local force f (at B origin, B coords) in frame A."""
+    fl = R @ f[:3]
+    tau = R @ f[3:] + jnp.cross(p, fl)
+    return jnp.concatenate([fl, tau])
+
+
+def force_act_inv(R, p, f):
+    fl = R.T @ (f[:3])
+    tau = R.T @ (f[3:] - jnp.cross(p, f[:3]))
+    return jnp.concatenate([fl, tau])
+
+
+def motion_cross(m1, m2):
+    """Spatial cross product m1 x m2 for motion vectors."""
+    v1, w1 = m1[:3], m1[3:]
+    v2, w2 = m2[:3], m2[3:]
+    return jnp.concatenate([
+        jnp.cross(w1, v2) + jnp.cross(v1, w2),
+        jnp.cross(w1, w2),
+    ])
+
+
+def motion_cross_star(m, f):
+    """Dual cross product m x* f for force vectors."""
+    v, w = m[:3], m[3:]
+    fl, tau = f[:3], f[3:]
+    return jnp.concatenate([
+        jnp.cross(w, fl),
+        jnp.cross(w, tau) + jnp.cross(v, fl),
+    ])
+
+
+def inertia_apply(m, c, Ic, mot):
+    """h = I * motion for spatial inertia (mass m, com c, Ic about com)."""
+    v, w = mot[:3], mot[3:]
+    cw = jnp.cross(c, w)
+    h_lin = m * v - m * cw  # m*(v + w x c)
+    h_ang = Ic @ w - m * jnp.cross(c, cw) + m * jnp.cross(c, v)
+    return jnp.concatenate([h_lin, h_ang])
+
+
+def inertia_matrix(m, c, Ic):
+    """Dense 6x6 spatial inertia in [lin, ang] ordering."""
+    C = skew(jnp.asarray(c))
+    top = jnp.concatenate([m * jnp.eye(3), -m * C], axis=1)
+    bot = jnp.concatenate([m * C, jnp.asarray(Ic) - m * (C @ C)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def motion_transform_matrix(R, p):
+    """6x6 X with m_A = X @ m_B for T_AB = (R, p)."""
+    P = skew(p)
+    Z = jnp.zeros((3, 3))
+    top = jnp.concatenate([R, P @ R], axis=1)
+    bot = jnp.concatenate([Z, R], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def force_transform_matrix(R, p):
+    """6x6 X* with f_A = X* @ f_B."""
+    P = skew(p)
+    Z = jnp.zeros((3, 3))
+    top = jnp.concatenate([R, Z], axis=1)
+    bot = jnp.concatenate([P @ R, R], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _joint_rotation(axis, angle):
+    """Rodrigues rotation about a (constant numpy) unit axis."""
+    K = jnp.asarray(skew(np.asarray(axis)))
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+# ---------------------------------------------------------------------------
+# Forward kinematics.
+# ---------------------------------------------------------------------------
+
+def fk(model, q):
+    """World placements of every movable joint frame.
+
+    Returns (R_w, p_w): lists of (3,3) / (3,) per joint. Mirrors
+    pin.forwardKinematics + updateFramePlacements (used throughout
+    /root/reference/dynamics/dynamics.py).
+    """
+    from .lie import quat_to_matrix
+
+    R_w = [quat_to_matrix(q[3:7])]
+    p_w = [q[:3]]
+    for i in range(1, model.n_links):
+        lam = model.parent[i]
+        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        R_li = jnp.asarray(model.R_tree[i]) @ Rj
+        p_li = jnp.asarray(model.p_tree[i])
+        R_w.append(R_w[lam] @ R_li)
+        p_w.append(R_w[lam] @ p_li + p_w[lam])
+    return R_w, p_w
+
+
+def fk_vel(model, q, v):
+    """FK plus per-joint LOCAL spatial velocities.
+
+    v layout: [v_base_local (6), qdot_joints], Pinocchio free-flyer
+    convention.
+    """
+    R_w, p_w = fk(model, q)
+    v_loc = [v[:6]]
+    for i in range(1, model.n_links):
+        lam = model.parent[i]
+        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        R_li = jnp.asarray(model.R_tree[i]) @ Rj
+        p_li = jnp.asarray(model.p_tree[i])
+        vi = motion_act_inv(R_li, p_li, v_loc[lam])
+        S_w = jnp.asarray(np.asarray(model.axis[i], dtype=np.float32))
+        vJ = jnp.concatenate([jnp.zeros(3), S_w * v[6 + i - 1]])
+        v_loc.append(vi + vJ)
+    return R_w, p_w, v_loc
+
+
+def frame_placement(model, frame_name, R_w, p_w):
+    fr = model.frames[frame_name]
+    R = R_w[fr.parent_joint] @ jnp.asarray(fr.R)
+    p = R_w[fr.parent_joint] @ jnp.asarray(fr.p) + p_w[fr.parent_joint]
+    return R, p
+
+
+def frame_position(model, frame_name, q):
+    """World position of a frame (pin frame translation; reference
+    Dynamics.get_frame_position, dynamics.py:67-75)."""
+    R_w, p_w = fk(model, q)
+    _, p = frame_placement(model, frame_name, R_w, p_w)
+    return p
+
+
+def frame_velocity_lwa(model, frame_name, q, v):
+    """Frame spatial velocity in LOCAL_WORLD_ALIGNED coordinates.
+
+    Mirrors pin.getFrameVelocity(..., LOCAL_WORLD_ALIGNED) used by
+    Dynamics.get_frame_velocity (reference dynamics.py:77-118).
+    """
+    fr = model.frames[frame_name]
+    R_w, p_w, v_loc = fk_vel(model, q, v)
+    v_f = motion_act_inv(jnp.asarray(fr.R), jnp.asarray(fr.p), v_loc[fr.parent_joint])
+    R_wf = R_w[fr.parent_joint] @ jnp.asarray(fr.R)
+    return jnp.concatenate([R_wf @ v_f[:3], R_wf @ v_f[3:]])
+
+
+def frame_velocity(model, frame_name, q, v, relative_to_base=False,
+                   base_frame="base_link"):
+    """Reference-parity frame velocity (dynamics.py:77-118).
+
+    relative_to_base subtracts the base velocity (with the angular-velocity
+    lever correction), rotates x/y components into the base frame, and keeps
+    z components global.
+    """
+    vel = frame_velocity_lwa(model, frame_name, q, v)
+    if not relative_to_base:
+        return vel
+    base_vel = frame_velocity_lwa(model, base_frame, q, v)
+    R_w, p_w = fk(model, q)
+    _, p_f = frame_placement(model, frame_name, R_w, p_w)
+    R_b, p_b = frame_placement(model, base_frame, R_w, p_w)
+    rel_pos = p_f - p_b
+    correction = jnp.cross(base_vel[3:], rel_pos)
+    rel_lin = vel[:3] - base_vel[:3] - correction
+    rel_ang = vel[3:] - base_vel[3:]
+    rel_lin_b = R_b.T @ rel_lin
+    rel_ang_b = R_b.T @ rel_ang
+    return jnp.concatenate([
+        rel_lin_b[:2], vel[2:3], rel_ang_b[:2], vel[5:6]
+    ])
+
+
+def frame_jacobian_lwa(model, frame_name, q):
+    """LOCAL_WORLD_ALIGNED frame Jacobian J(q) with v_frame = J @ v.
+
+    Mirrors pin.computeFrameJacobian(..., LOCAL_WORLD_ALIGNED) (reference
+    dynamics_whole_body_acc.py:60). Exploits linearity of frame velocity in
+    v via one jacfwd.
+    """
+    return jax.jacfwd(lambda v: frame_velocity_lwa(model, frame_name, q, v))(
+        jnp.zeros(model.nv)
+    )
+
+
+# ---------------------------------------------------------------------------
+# External frame forces: world linear force -> local spatial force at the
+# parent joint, following the reference's "OCS2 implementation"
+# (dynamics.py:48-60).
+# ---------------------------------------------------------------------------
+
+def external_joint_forces(model, ee_frames, forces_world, R_w):
+    """Map per-frame world 3-forces to per-joint local spatial forces.
+
+    forces_world: (3 * len(ee_frames),) stacked. Returns dict
+    joint_idx -> 6-vector (accumulated).
+    """
+    f_ext = {}
+    for idx, fname in enumerate(ee_frames):
+        fr = model.frames[fname]
+        jid = fr.parent_joint
+        f_world = forces_world[3 * idx: 3 * idx + 3]
+        f_lin = R_w[jid].T @ f_world
+        f_ang = jnp.cross(jnp.asarray(fr.p), f_lin)
+        f = jnp.concatenate([f_lin, f_ang])
+        f_ext[jid] = f_ext.get(jid, jnp.zeros(6)) + f
+    return f_ext
+
+
+# ---------------------------------------------------------------------------
+# RNEA — inverse dynamics with external forces.
+# ---------------------------------------------------------------------------
+
+def rnea(model, q, v, a, ee_frames=(), forces_world=None):
+    """Whole-body torques tau(q, v, a, f_ext) = [tau_base (6), tau_joints].
+
+    Mirrors cpin.rnea as driven by Dynamics.rnea_dynamics (reference
+    dynamics.py:33-65): forces are world-frame linear forces applied at the
+    given frames.
+    """
+    n = model.n_links
+    from .lie import quat_to_matrix
+
+    # Forward pass.
+    R_w = [quat_to_matrix(q[3:7])]
+    v_loc = [v[:6]]
+    a_grav = jnp.concatenate([R_w[0].T @ jnp.array([0.0, 0.0, GRAVITY]), jnp.zeros(3)])
+    a_loc = [a_grav + a[:6]]
+    X = [None]  # (R_li, p_li) per joint
+    for i in range(1, n):
+        lam = model.parent[i]
+        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        R_li = jnp.asarray(model.R_tree[i]) @ Rj
+        p_li = jnp.asarray(model.p_tree[i])
+        X.append((R_li, p_li))
+        R_w.append(R_w[lam] @ R_li)
+        S = jnp.asarray(np.asarray(model.axis[i], dtype=np.float32))
+        vJ = jnp.concatenate([jnp.zeros(3), S * v[6 + i - 1]])
+        vi = motion_act_inv(R_li, p_li, v_loc[lam]) + vJ
+        ai = (
+            motion_act_inv(R_li, p_li, a_loc[lam])
+            + jnp.concatenate([jnp.zeros(3), S * a[6 + i - 1]])
+            + motion_cross(vi, vJ)
+        )
+        v_loc.append(vi)
+        a_loc.append(ai)
+
+    f_ext = (
+        external_joint_forces(model, ee_frames, forces_world, R_w)
+        if forces_world is not None
+        else {}
+    )
+
+    # Body forces.
+    f = []
+    for i in range(n):
+        m, c, Ic = model.mass[i], model.com[i], model.inertia[i]
+        fi = inertia_apply(m, jnp.asarray(c), jnp.asarray(Ic), a_loc[i]) + (
+            motion_cross_star(v_loc[i], inertia_apply(m, jnp.asarray(c), jnp.asarray(Ic), v_loc[i]))
+        )
+        if i in f_ext:
+            fi = fi - f_ext[i]
+        f.append(fi)
+
+    # Backward pass.
+    tau_j = [None] * n
+    for i in range(n - 1, 0, -1):
+        S = jnp.asarray(np.asarray(model.axis[i], dtype=np.float32))
+        tau_j[i] = jnp.dot(S, f[i][3:])
+        lam = model.parent[i]
+        R_li, p_li = X[i]
+        f[lam] = f[lam] + force_act(R_li, p_li, f[i])
+
+    return jnp.concatenate([f[0]] + [tau_j[i][None] for i in range(1, n)])
+
+
+def nonlinear_effects(model, q, v):
+    """Coriolis + gravity torques (pin.nonLinearEffects, reference
+    dynamics_whole_body_acc.py:56)."""
+    return rnea(model, q, v, jnp.zeros(model.nv))
+
+
+# ---------------------------------------------------------------------------
+# CRBA — joint-space mass matrix.
+# ---------------------------------------------------------------------------
+
+def _composite_inertias(model, q):
+    """Per-joint subtree composite 6x6 spatial inertias (local frames) and
+    the joint transforms. Shared by crba and ccrba."""
+    n = model.n_links
+    X = [None]
+    for i in range(1, n):
+        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        R_li = jnp.asarray(model.R_tree[i]) @ Rj
+        p_li = jnp.asarray(model.p_tree[i])
+        X.append((R_li, p_li))
+
+    Ic = [
+        inertia_matrix(model.mass[i], model.com[i], model.inertia[i])
+        for i in range(n)
+    ]
+    for i in range(n - 1, 0, -1):
+        lam = model.parent[i]
+        R_li, p_li = X[i]
+        XF = force_transform_matrix(R_li, p_li)
+        XM_inv = motion_transform_matrix(R_li.T, -R_li.T @ p_li)
+        Ic[lam] = Ic[lam] + XF @ Ic[i] @ XM_inv
+    return Ic, X
+
+
+def crba(model, q):
+    """Mass matrix M(q) (pin.crba, reference dynamics_whole_body_acc.py:55)."""
+    n = model.n_links
+    nv = model.nv
+    Ic, X = _composite_inertias(model, q)
+
+    M = jnp.zeros((nv, nv))
+    # Base block.
+    M = M.at[:6, :6].set(Ic[0])
+    for i in range(1, n):
+        S = jnp.concatenate([
+            jnp.zeros(3), jnp.asarray(np.asarray(model.axis[i], dtype=np.float32))
+        ])
+        F = Ic[i] @ S
+        col = 6 + i - 1
+        M = M.at[col, col].set(jnp.dot(S, F))
+        j = i
+        while True:
+            lam = model.parent[j]
+            R_li, p_li = X[j]
+            F = force_act(R_li, p_li, F)
+            if lam == 0:
+                # base rows: S_base = identity
+                M = M.at[:6, col].set(F)
+                M = M.at[col, :6].set(F)
+                break
+            Sl = jnp.concatenate([
+                jnp.zeros(3),
+                jnp.asarray(np.asarray(model.axis[lam], dtype=np.float32)),
+            ])
+            row = 6 + lam - 1
+            val = jnp.dot(Sl, F)
+            M = M.at[row, col].set(val)
+            M = M.at[col, row].set(val)
+            j = lam
+    return M
+
+
+def aba(model, q, v, tau, ee_frames=(), forces_world=None):
+    """Forward dynamics a = aba(q, v, tau, f_ext) (pin.aba as used by
+    DynamicsWholeBodyTorque.aba_dynamics, dynamics_whole_body_torque.py:73-103).
+
+    Solves M a = tau - rnea(q, v, 0, f_ext) with a dense Cholesky — exact
+    for these small (nv <= 24) systems and MXU-friendly when batched.
+    """
+    M = crba(model, q)
+    bias = rnea(model, q, v, jnp.zeros(model.nv), ee_frames, forces_world)
+    L = jnp.linalg.cholesky(M)
+    rhs = tau - bias
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# Center of mass and centroidal dynamics.
+# ---------------------------------------------------------------------------
+
+def center_of_mass(model, q):
+    """World CoM (pin.centerOfMass, reference dynamics_centroidal_vel.py:55)."""
+    R_w, p_w = fk(model, q)
+    total = jnp.zeros(3)
+    for i in range(model.n_links):
+        total = total + model.mass[i] * (R_w[i] @ jnp.asarray(model.com[i]) + p_w[i])
+    return total / model.total_mass
+
+
+def ccrba(model, q):
+    """Centroidal momentum matrix A(q) with h = A @ v, [lin, ang] about the
+    CoM in world-aligned axes (pin.computeCentroidalMap, reference
+    dynamics_centroidal_vel.py:80)."""
+    n = model.n_links
+    Ic, X = _composite_inertias(model, q)
+    R_w, p_w = fk(model, q)
+    com = center_of_mass(model, q)
+
+    cols = []
+    # Free-flyer: 6 columns = force-transform(T_G0) @ Ic[0]
+    XF0 = force_transform_matrix(R_w[0], p_w[0] - com)
+    cols.append(XF0 @ Ic[0])
+    for i in range(1, n):
+        S = jnp.concatenate([
+            jnp.zeros(3), jnp.asarray(np.asarray(model.axis[i], dtype=np.float32))
+        ])
+        F = Ic[i] @ S
+        cols.append(force_act(R_w[i], p_w[i] - com, F)[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def dccrba(model, q, v):
+    """Time derivative Adot of the centroidal momentum matrix along v
+    (pin.dccrba, reference dynamics_centroidal_vel.py:112).
+
+    Computed as the directional derivative of A(q) through the manifold
+    integrate — jax.jvp replaces CasADi AD.
+    """
+    def A_of(dq):
+        return ccrba(model, integrate_q(q, dq))
+
+    _, Adot = jax.jvp(A_of, (jnp.zeros(model.nv),), (v,))
+    return Adot
