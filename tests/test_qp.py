@@ -1,0 +1,118 @@
+"""Unit tests for the block-tridiagonal ADMM QP solver against dense
+reference solutions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_locoman.solver.qp import (
+    ADMMConfig,
+    admm_solve,
+    assemble_blocks,
+    factorize,
+    solve_factorized,
+)
+
+
+def random_blocks(rng, N=5, m=7, ndx=4, nu=3, scale_spread=False):
+    G = rng.normal(size=(N, m, ndx))
+    B = rng.normal(size=(N, m, nu))
+    C = rng.normal(size=(N, m, ndx))
+    s = ndx + nu
+    P = np.abs(rng.normal(size=(N + 1, s))) + 0.1
+    if scale_spread:
+        # badly scaled rows/cols like the real OCP (1e-3 .. 1e4)
+        G *= 10.0 ** rng.uniform(-2, 2, size=(N, m, 1))
+        P *= 10.0 ** rng.uniform(-3, 4, size=(N + 1, s))
+    return (
+        jnp.asarray(G, dtype=jnp.float32),
+        jnp.asarray(B, dtype=jnp.float32),
+        jnp.asarray(C, dtype=jnp.float32),
+        jnp.asarray(P, dtype=jnp.float32),
+    )
+
+
+def dense_A(G, B, C):
+    N, m, ndx = G.shape
+    nu = B.shape[2]
+    s = ndx + nu
+    A = np.zeros((N * m, (N + 1) * s))
+    for i in range(N):
+        A[i * m:(i + 1) * m, i * s:i * s + ndx] = G[i]
+        A[i * m:(i + 1) * m, i * s + ndx:(i + 1) * s] = B[i]
+        A[i * m:(i + 1) * m, (i + 1) * s:(i + 1) * s + ndx] = C[i]
+    return A
+
+
+def test_block_tridiag_solve_matches_dense():
+    rng = np.random.default_rng(1)
+    G, B, C, P = random_blocks(rng)
+    N, m, ndx = G.shape
+    s = P.shape[1]
+    rho, sigma = 0.1, 1e-6
+    rho_vec = jnp.full((N, m), rho, dtype=jnp.float32)
+    H, U, A, D = assemble_blocks(G, B, C, P, rho_vec, sigma)
+    fac = factorize(H, U)
+    b = jnp.asarray(rng.normal(size=(N + 1, s)), dtype=jnp.float32)
+    x = solve_factorized(fac, b)
+
+    Ad = dense_A(np.asarray(G), np.asarray(B), np.asarray(C))
+    Md = np.diag(np.asarray(P).ravel() + sigma) + rho * Ad.T @ Ad
+    x_dense = np.linalg.solve(Md, np.asarray(b).ravel())
+    np.testing.assert_allclose(
+        np.asarray(x).ravel(), x_dense, rtol=2e-3, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("spread", [False, True])
+def test_admm_equality_qp_matches_kkt(spread):
+    """Equality-constrained QP (l == u) has a closed-form KKT solution."""
+    rng = np.random.default_rng(2)
+    G, B, C, P = random_blocks(rng, N=4, m=3, ndx=4, nu=2, scale_spread=spread)
+    N, m, ndx = G.shape
+    s = P.shape[1]
+    q = jnp.asarray(rng.normal(size=(N + 1, s)), dtype=jnp.float32)
+    beq = jnp.asarray(rng.normal(size=(N, m)), dtype=jnp.float32)
+
+    cfg = ADMMConfig(iters=600, rho=0.1, sigma=1e-6, alpha=1.6)
+    x, z, y = admm_solve(G, B, C, P, q, beq, beq, cfg)
+
+    Ad = dense_A(np.asarray(G), np.asarray(B), np.asarray(C))
+    n = (N + 1) * s
+    Pd = np.diag(np.asarray(P, dtype=np.float64).ravel())
+    KKT = np.block([
+        [Pd, Ad.T],
+        [Ad, np.zeros((N * m, N * m))],
+    ])
+    rhs = np.concatenate([-np.asarray(q).ravel(), np.asarray(beq).ravel()])
+    sol = np.linalg.solve(KKT, rhs)
+    x_ref = sol[:n]
+    scale = np.abs(x_ref).max() + 1.0
+    np.testing.assert_allclose(
+        np.asarray(x).ravel(), x_ref, atol=2e-2 * scale
+    )
+
+
+def test_admm_box_qp_kkt_conditions():
+    """Inequality QP: check primal feasibility + stationarity residuals."""
+    rng = np.random.default_rng(3)
+    G, B, C, P = random_blocks(rng, N=4, m=5, ndx=4, nu=2)
+    N, m, ndx = G.shape
+    s = P.shape[1]
+    q = jnp.asarray(rng.normal(size=(N + 1, s)), dtype=jnp.float32)
+    l = jnp.asarray(rng.normal(size=(N, m)) - 2.0, dtype=jnp.float32)
+    u = jnp.asarray(np.asarray(l) + np.abs(rng.normal(size=(N, m))) + 0.5)
+
+    cfg = ADMMConfig(iters=800, rho=0.1, sigma=1e-6, alpha=1.6)
+    x, z, y = admm_solve(G, B, C, P, q, l, u, cfg)
+
+    Ad = dense_A(np.asarray(G), np.asarray(B), np.asarray(C))
+    xf = np.asarray(x).ravel()
+    Ax = Ad @ xf
+    # primal feasibility
+    assert np.max(np.asarray(l).ravel() - Ax) < 1e-2
+    assert np.max(Ax - np.asarray(u).ravel()) < 1e-2
+    # stationarity: P x + q + A^T y ~ 0
+    r = np.diag(np.asarray(P).ravel()) @ xf + np.asarray(q).ravel() + Ad.T @ np.asarray(y).ravel()
+    assert np.abs(r).max() < 5e-2 * (np.abs(q).max() + 1.0)

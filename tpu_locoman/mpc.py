@@ -1,0 +1,248 @@
+"""Receding-horizon MPC driver.
+
+TPU-native counterpart of the reference's run_mpc.py mpc_loop (lines 44-148)
+and of the OCP parameter plumbing (ocp.py:216-242): schedule update,
+warm-started solve, retraction of the executed node, and the plan-replay
+state advance x <- integrate(x, DX_1) (run_mpc.py:109).  The whole tick is
+one jitted function; the loop is lax.scan, so an entire MPC rollout (and a
+batch of thousands of rollouts via vmap) is a single XLA program.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dynamics.formulations import (
+    StageParams,
+    SharedParams,
+    make_formulation,
+)
+from .ocp import Transcription
+from .solver import SQPSolver, SQPConfig, SolverState
+
+
+def geometric_dts(dt_min, dt_max, nodes):
+    """Geometrically growing step sizes dt_i = dt_min * gamma^i
+    (ocp.py:71-74)."""
+    ratio = dt_max / dt_min
+    gamma = ratio ** (1.0 / (nodes - 1))
+    return dt_min * gamma ** jnp.arange(nodes, dtype=jnp.float32)
+
+
+class MPCCarry(NamedTuple):
+    x_init: jnp.ndarray
+    solver_state: SolverState
+    tau_prev: jnp.ndarray
+
+
+class MPC:
+    """One robot + formulation + horizon, solved at a fixed control rate.
+
+    Mirrors the configuration surface of run_mpc.py:11-41 and make_ocp
+    (ocp_factory.py:8-27).
+    """
+
+    def __init__(
+        self,
+        robot,
+        dynamics="whole_body_rnea",
+        nodes=14,
+        dt_min=0.01,
+        dt_max=0.08,
+        swing_height=0.07,
+        swing_vel_limits=(0.1, -0.2),
+        config: SQPConfig = SQPConfig(),
+        **form_kwargs,
+    ):
+        assert robot.gait_sequence is not None, "call robot.set_gait_sequence first"
+        self.robot = robot
+        self.form = make_formulation(dynamics, robot, **form_kwargs)
+        self.trans = Transcription(self.form, nodes)
+        self.solver = SQPSolver(self.trans, config)
+        self.nodes = nodes
+        self.dt_min = dt_min
+        self.dt_max = dt_max
+        self.swing_height = swing_height
+        self.swing_vel_limits = swing_vel_limits
+        self.dts = geometric_dts(dt_min, dt_max, nodes)
+
+        gs = robot.gait_sequence
+        self.gait = gs
+        self.n_contacts = gs.n_contacts
+        self.swing_period = gs.swing_period
+
+        Q, R = self.form.default_weights()
+        self.Q_diag = Q
+        self.R_diag = R
+        self.W_diag = (
+            self.form.default_W()
+            if hasattr(self.form, "default_W")
+            else np.zeros(self.form.nj, dtype=np.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def x_nom(self):
+        return jnp.asarray(self.form.x_nom(), dtype=jnp.float32)
+
+    def make_shared(self, x_init, base_vel_des, ext_force_des=None,
+                    arm_vel_des=None, tau_prev=None):
+        z3 = jnp.zeros(3)
+        return SharedParams(
+            x_init=x_init,
+            base_vel_des=jnp.asarray(base_vel_des, dtype=jnp.float32),
+            ext_force_des=z3 if ext_force_des is None else jnp.asarray(
+                ext_force_des, dtype=jnp.float32),
+            arm_vel_des=z3 if arm_vel_des is None else jnp.asarray(
+                arm_vel_des, dtype=jnp.float32),
+            swing_period=jnp.float32(self.swing_period),
+            swing_height=jnp.float32(self.swing_height),
+            swing_vel_limits=jnp.asarray(self.swing_vel_limits, dtype=jnp.float32),
+            n_contacts=jnp.float32(self.n_contacts),
+            Q_diag=jnp.asarray(self.Q_diag),
+            R_diag=jnp.asarray(self.R_diag),
+            W_diag=jnp.asarray(self.W_diag),
+            tau_prev=jnp.zeros(self.form.nj) if tau_prev is None else tau_prev,
+        )
+
+    def make_stage_params(self, t_current):
+        """Per-node schedules and masks (ocp.py:234-242 analog)."""
+        contact, swing = self.gait.get_gait_schedule(t_current, self.dts)
+        idx = jnp.arange(self.nodes, dtype=jnp.float32)
+        is_cvel = self.form.name == "centroidal_vel"
+        node0 = jnp.where(idx > 0, 1.0, 0.0)
+        state_mask = jnp.ones(self.nodes) if is_cvel else node0
+        if getattr(self.form, "tau_idx", None) is not None:
+            tau_mask = jnp.where(idx < self.form.tau_nodes, 1.0, 0.0)
+        else:
+            tau_mask = jnp.ones(self.nodes)
+        return StageParams(
+            dt=self.dts,
+            contact=contact.T,  # (nodes, 4)
+            swing=swing.T,
+            state_mask=state_mask,
+            tau_mask=tau_mask,
+            node0_mask=node0,
+        )
+
+    # ------------------------------------------------------------------
+    def warm_start_Z(self, Z, sp: StageParams, shared):
+        """Reset the force slots of the warm start to the (contact-masked)
+        gravity-split targets, keeping previous dx / velocity / torque
+        entries — mirrors the reference warm_start()
+        (e.g. ocp_centroidal_acc.py:139-164)."""
+        form = self.form
+        f_des = form.f_des(shared.n_contacts)  # (nf,)
+        # feet forces masked by the current contact schedule
+        mask = jnp.repeat(sp.contact, 3, axis=1)  # (nodes, 12)
+        f_feet = f_des[: 3 * form.n_feet][None, :] * mask
+        f_all = (
+            jnp.concatenate(
+                [f_feet, jnp.tile(f_des[3 * form.n_feet:], (self.nodes, 1))],
+                axis=1,
+            )
+            if form.nf > 3 * form.n_feet
+            else f_feet
+        )
+        ndx = form.ndx
+        f0 = ndx + form.f_idx
+        return Z.at[:-1, f0: f0 + form.nf].set(f_all)
+
+    def init_carry(self, x_init=None):
+        x0 = self.x_nom() if x_init is None else jnp.asarray(x_init)
+        state = self.solver.init_state()
+        shared = self.make_shared(x0, jnp.zeros(6))
+        sp = self.make_stage_params(jnp.float32(0.0))
+        state = state._replace(Z=self.warm_start_Z(state.Z, sp, shared))
+        return MPCCarry(
+            x_init=x0,
+            solver_state=state,
+            tau_prev=jnp.zeros(self.form.nj),
+        )
+
+    def step(self, carry: MPCCarry, t_current, base_vel_des,
+             ext_force_des=None, arm_vel_des=None):
+        """One MPC tick (run_mpc.py:69-113)."""
+        shared = self.make_shared(
+            carry.x_init, base_vel_des, ext_force_des, arm_vel_des,
+            tau_prev=carry.tau_prev,
+        )
+        sp = self.make_stage_params(t_current)
+        warm = carry.solver_state._replace(
+            Z=self.warm_start_Z(carry.solver_state.Z, sp, shared)
+        )
+        new_state, stats = self.solver.solve(warm, sp, shared)
+
+        ndx = self.form.ndx
+        DX1 = new_state.Z[1, :ndx]
+        x_next = self.form.integrate(carry.x_init, DX1)
+
+        if getattr(self.form, "tau_idx", None) is not None:
+            tau_prev = new_state.Z[1, ndx + self.form.tau_idx:]
+        else:
+            tau_prev = carry.tau_prev
+
+        return MPCCarry(x_next, new_state, tau_prev), stats
+
+    def run(self, n_loops, base_vel_des, ext_force_des=None, arm_vel_des=None,
+            x_init=None):
+        """Full MPC rollout as one lax.scan (the jittable analog of the
+        mpc_loop in run_mpc.py:69-148)."""
+        base_vel_des = jnp.asarray(base_vel_des, dtype=jnp.float32)
+
+        def tick(carry, k):
+            t = k.astype(jnp.float32) * self.dt_min
+            carry, stats = self.step(
+                carry, t, base_vel_des, ext_force_des, arm_vel_des
+            )
+            out = {
+                "x": carry.x_init,
+                "max_violation": stats["max_violation"],
+                "alpha": stats["alpha"],
+            }
+            return carry, out
+
+        carry = self.init_carry(x_init)
+        carry, outs = jax.lax.scan(tick, carry, jnp.arange(n_loops))
+        return carry, outs
+
+    # ------------------------------------------------------------------
+    def retract(self, Z, x_init, num_steps=None):
+        """Decode the stacked solution into executed quantities
+        (q, v, a, forces, tau) per node — the analog of
+        retract_stacked_sol / the generated retract_solution.c
+        (e.g. ocp_centroidal_vel.py:208-337)."""
+        form = self.form
+        n = self.nodes if num_steps is None else num_steps
+        ndx, s = form.ndx, self.trans.s
+        out = {"q": [], "v": [], "a": [], "forces": [], "tau": []}
+        for i in range(n):
+            dx = Z[i, :ndx] if i > 0 else jnp.zeros(ndx)
+            u = Z[i, ndx:]
+            d = form.decode(x_init, dx, u)
+            q, v, forces = d["q"], d["v"], d["forces"]
+            if form.name == "centroidal_vel":
+                # finite-difference acc with exact base rows
+                # (ocp_centroidal_vel.py:183-198)
+                u_next = Z[i + 1, ndx:] if i + 1 < self.nodes else u
+                dn = form.decode(x_init, Z[i + 1, :ndx], u_next)
+                a = (dn["v"] - v) / self.dts[i]
+                a_b = form.base_acc_dynamics(q, v, a[6:], forces)
+                a = jnp.concatenate([a_b, a[6:]])
+                tau = form.rnea_dyn(q, v, a, forces)[6:]
+            elif form.name == "whole_body_rnea":
+                a = d["a"]
+                tau = d["tau_j"]
+            elif form.name == "whole_body_aba":
+                a = d["a"]
+                tau = d["tau_j"]
+            else:
+                a = d["a"]
+                tau = form.rnea_dyn(q, v, a, forces)[6:]
+            out["q"].append(q)
+            out["v"].append(v)
+            out["a"].append(a)
+            out["forces"].append(forces)
+            out["tau"].append(tau)
+        return {k: jnp.stack(vs) for k, vs in out.items()}

@@ -1,0 +1,239 @@
+"""Stagewise NLP transcription.
+
+TPU-native counterpart of the reference OCP constraint/objective assembly
+(/root/reference/optimization/ocp.py:38-198 and the per-formulation
+setup_dynamics_constraints).  Instead of a CasADi Opti object graph, the
+horizon is one vmapped stage function:
+
+    g_i = stage_residual(dx_i, u_i, dx_{i+1}; stage_params_i, shared)
+
+with per-row bounds (l, u): equality rows use l = u = 0, inequalities use
+[0, inf) or box bounds.  Node-dependent structure (the pinned initial state,
+the first-node constraint exemptions, the tau_nodes torque window) is
+expressed with per-node masks so every node has identical shapes.
+
+z layout: (N+1) uniform blocks s_i = [dx_i (ndx), u_i (nu)]; block N's input
+slot is a dummy pinned to zero by the objective.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..dynamics.formulations import StageParams, SharedParams
+from ..gait import get_spline_vel_z
+
+_INF = 1e9  # large-but-finite bound; keeps ADMM arithmetic clean in f32
+
+
+class ObjectiveData(NamedTuple):
+    """Diagonal quadratic objective sum_k w_k (z_k - t_k)^2, split into the
+    base tracking term and the torque-continuity term (W_diag, rnea only,
+    reference ocp_whole_body_rnea.py:108-136)."""
+
+    P_base: jnp.ndarray  # (N+1, s)
+    z_des: jnp.ndarray  # (N+1, s)
+    P_w: jnp.ndarray  # (N+1, s) extra weights (tau_0 continuity)
+    z_w: jnp.ndarray  # (N+1, s) target for the extra term
+
+
+class Transcription:
+    def __init__(self, form, nodes, mu=0.7):
+        self.form = form
+        self.nodes = nodes
+        self.mu = mu
+
+        self.ndx = form.ndx
+        self.nu = form.nu
+        self.s = self.ndx + self.nu  # uniform stage-block width
+
+        self.has_ext = form.ext_force_frame is not None
+        self.has_arm = form.arm_ee_frame is not None
+        self.has_tau = getattr(form, "tau_idx", None) is not None
+        nf4 = form.n_feet
+        nj = form.nj
+
+        # Row layout (per node).
+        self.n_dyn = form.n_dyn
+        self.n_eq = (
+            self.n_dyn
+            + 3 * nf4  # swing zero-force
+            + 2 * nf4  # contact zero xy-velocity
+            + 1 * nf4  # blended z-velocity
+            + (3 if self.has_ext else 0)
+            + (3 if self.has_arm else 0)
+        )
+        self.n_ineq = (
+            2 * nf4  # friction normal + cone
+            + nj  # joint position box
+            + nj  # joint velocity box
+            + (nj if self.has_tau else 0)
+        )
+        self.m = self.n_eq + self.n_ineq
+
+    # ------------------------------------------------------------------
+    def stage_residual(self, dx, u, dx_next, sp: StageParams,
+                       shared: SharedParams):
+        """All constraint rows of one node (ocp.py:103-198 + subclass
+        dynamics constraints)."""
+        form = self.form
+        dx = dx * sp.node0_mask  # pinned initial state (ocp.py:109)
+        rows = [form.dyn_residual(shared.x_init, dx, u, dx_next, sp)]
+
+        d = form.decode(shared.x_init, dx, u)
+        q, v, forces = d["q"], d["v"], d["forces"]
+
+        # Per-foot contact/swing equalities (ocp.py:121-157).
+        swing_force, vel_xy_rows, vel_z_rows = [], [], []
+        for idx in range(form.n_feet):
+            c = sp.contact[idx]
+            f_e = forces[3 * idx: 3 * idx + 3]
+            swing_force.append((1.0 - c) * f_e)
+
+            vel = form.frame_velocity(form.foot_frames[idx], q, v)
+            vel_xy_rows.append(sp.state_mask * c * vel[:2])
+            vel_z_des = get_spline_vel_z(
+                sp.swing[idx],
+                swing_period=shared.swing_period,
+                h_max=shared.swing_height,
+                v_liftoff=shared.swing_vel_limits[0],
+                v_touchdown=shared.swing_vel_limits[1],
+            )
+            blended = c * vel[2] + (1.0 - c) * (vel[2] - vel_z_des)
+            vel_z_rows.append(sp.state_mask * blended[None])
+        rows += swing_force + vel_xy_rows + vel_z_rows
+
+        if self.has_ext:
+            f_ext = forces[3 * form.n_feet:]
+            rows.append(f_ext - shared.ext_force_des)  # ocp.py:166-168
+        if self.has_arm:
+            vel = form.frame_velocity(form.arm_ee_frame, q, v,
+                                      relative_to_base=True)
+            rows.append(sp.state_mask * (vel[:3] - shared.arm_vel_des))
+
+        # Inequality rows (value side; bounds in stage_bounds).
+        frics, cones = [], []
+        for idx in range(form.n_feet):
+            c = sp.contact[idx]
+            f_e = forces[3 * idx: 3 * idx + 3]
+            frics.append(c * f_e[2][None])
+            cones.append(
+                (c * (self.mu**2 * f_e[2] ** 2 - f_e[0] ** 2 - f_e[1] ** 2))[None]
+            )
+        rows += frics + cones
+        rows.append(q[7:])  # joint positions (ocp.py:183-189)
+        rows.append(v[6:])  # joint velocities
+        if self.has_tau:
+            rows.append(d["tau_j"])  # torque box (ocp_whole_body_rnea.py:169-171)
+        return jnp.concatenate(rows)
+
+    def stage_bounds(self, sp: StageParams, shared: SharedParams):
+        """Per-row (l, u) for one node; equality rows are 0/0."""
+        form = self.form
+        nf4, nj = form.n_feet, form.nj
+        l = [jnp.zeros(self.n_eq)]
+        u = [jnp.zeros(self.n_eq)]
+
+        # friction normal >= 0, cone >= 0
+        l.append(jnp.zeros(2 * nf4))
+        u.append(jnp.full((2 * nf4,), _INF))
+
+        sm = sp.state_mask
+        pos_min = jnp.asarray(form.robot.joint_pos_min, dtype=jnp.float32)
+        pos_max = jnp.asarray(form.robot.joint_pos_max, dtype=jnp.float32)
+        vel_max = jnp.asarray(form.robot.joint_vel_max, dtype=jnp.float32)
+        l.append(jnp.where(sm > 0, pos_min, -_INF))
+        u.append(jnp.where(sm > 0, pos_max, _INF))
+        l.append(jnp.where(sm > 0, -vel_max, -_INF))
+        u.append(jnp.where(sm > 0, vel_max, _INF))
+        if self.has_tau:
+            tau_max = jnp.asarray(form.robot.joint_torque_max, dtype=jnp.float32)
+            tm = sp.tau_mask
+            l.append(jnp.where(tm > 0, -tau_max, -_INF))
+            u.append(jnp.where(tm > 0, tau_max, _INF))
+        return jnp.concatenate(l), jnp.concatenate(u)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, Z, stage_params, shared):
+        """Constraint values g (N, m) at the stacked iterate Z (N+1, s)."""
+        DX = Z[:, : self.ndx]
+        U = Z[:-1, self.ndx:]
+        return jax.vmap(
+            lambda dx, u_, dxn, sp: self.stage_residual(dx, u_, dxn, sp, shared)
+        )(DX[:-1], U, DX[1:], stage_params)
+
+    def linearize(self, Z, stage_params, shared):
+        """g and its stage-block Jacobians via vmapped jacfwd — the analog
+        of CasADi's jacobian(g, x) (ocp.py:283)."""
+        DX = Z[:, : self.ndx]
+        U = Z[:-1, self.ndx:]
+
+        def one(dx, u_, dxn, sp):
+            fn = lambda a, b, c: self.stage_residual(a, b, c, sp, shared)
+            g = fn(dx, u_, dxn)
+            G, B, C = jax.jacfwd(fn, argnums=(0, 1, 2))(dx, u_, dxn)
+            return g, G, B, C
+
+        return jax.vmap(one)(DX[:-1], U, DX[1:], stage_params)
+
+    def bounds(self, stage_params, shared):
+        return jax.vmap(lambda sp: self.stage_bounds(sp, shared))(stage_params)
+
+    # ------------------------------------------------------------------
+    def objective_data(self, shared: SharedParams):
+        """Diagonal tracking objective (ocp.py:80-101 + rnea variant)."""
+        form = self.form
+        N = self.nodes
+        x_des = form.x_des(shared)
+        dx_des = form.difference(shared.x_init, x_des)
+        u_des = form.u_des(shared)
+
+        Q = shared.Q_diag
+        R = shared.R_diag
+
+        P_rows, t_rows = [], []
+        for i in range(N + 1):
+            if i == 0:
+                # dx_0 is pinned: unit dummy weight, target 0.
+                pq, tq = jnp.ones(self.ndx), jnp.zeros(self.ndx)
+            else:
+                pq, tq = Q, dx_des
+            if i < N:
+                pu, tu = R, u_des
+                if self.has_tau:
+                    tau_sl = slice(self.ndx + form.tau_idx, self.s)
+                    # beyond tau_nodes the torque slot is a pinned dummy
+                    active = 1.0 if i < form.tau_nodes else 0.0
+                    pu = pu.at[form.tau_idx:].set(
+                        jnp.where(active > 0, R[form.tau_idx:], 1.0)
+                    )
+                    tu = tu.at[form.tau_idx:].set(
+                        jnp.where(active > 0, tu[form.tau_idx:], 0.0)
+                    )
+            else:
+                pu, tu = jnp.ones(self.nu), jnp.zeros(self.nu)
+            P_rows.append(jnp.concatenate([pq, pu]))
+            t_rows.append(jnp.concatenate([tq, tu]))
+        P_base = jnp.stack(P_rows)
+        z_des = jnp.stack(t_rows)
+
+        P_w = jnp.zeros_like(P_base)
+        z_w = jnp.zeros_like(z_des)
+        if self.has_tau:
+            sl = slice(self.ndx + form.tau_idx, self.s)
+            P_w = P_w.at[0, sl].set(shared.W_diag)
+            z_w = z_w.at[0, sl].set(shared.tau_prev)
+        return ObjectiveData(P_base, z_des, P_w, z_w)
+
+    def objective_value(self, Z, obj: ObjectiveData):
+        e = Z - obj.z_des
+        ew = Z - obj.z_w
+        return jnp.sum(obj.P_base * e * e) + jnp.sum(obj.P_w * ew * ew)
+
+    def objective_gradient(self, Z, obj: ObjectiveData):
+        return 2.0 * obj.P_base * (Z - obj.z_des) + 2.0 * obj.P_w * (Z - obj.z_w)
+
+    def hessian_diag(self, obj: ObjectiveData):
+        return 2.0 * (obj.P_base + obj.P_w)

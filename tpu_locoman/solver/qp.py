@@ -1,0 +1,239 @@
+"""Stagewise QP solver: OSQP-semantics ADMM over a block-tridiagonal KKT.
+
+TPU-native replacement for the reference's OSQP inner QP (ocp.py:265-319,
+375-422) and, structurally, for Fatrop's Riccati KKT solve.  The constraint
+Jacobian of the transcription couples only adjacent stages, so
+
+    M = P + sigma*I + rho * A^T A
+
+is block-tridiagonal in the stage blocks s_i = [dx_i, u_i].  We factor M
+once per SQP iteration with a blocked Cholesky (lax.scan over the horizon)
+and run fixed-count ADMM iterations, each costing two triangular sweeps.
+Everything is shape-static and vmappable over scenario batches: the s x s
+block operations become large batched GEMMs on the MXU.
+
+OSQP parameters mirror the reference settings (ocp.py:267-273):
+alpha = 1.4 relaxation, rho = 2e-2 fixed, warm started.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class ADMMConfig(NamedTuple):
+    iters: int = 100  # reference max_iter (ocp.py:268)
+    rho: float = 2e-2  # ocp.py:270
+    sigma: float = 1e-6  # OSQP default
+    alpha: float = 1.4  # ocp.py:269
+    scaling_iters: int = 5  # Ruiz equilibration sweeps (OSQP default 10)
+
+
+class BlockTridiagFactor(NamedTuple):
+    """Cholesky factor of the block-tridiagonal M: per-stage lower blocks
+    L_i and sub-diagonal factors F_i = L_i^{-1} U_i."""
+
+    L: jnp.ndarray  # (N+1, s, s)
+    F: jnp.ndarray  # (N, s, s)
+
+
+def _tri_solve(L, b, lower=True, trans=False):
+    return jax.scipy.linalg.solve_triangular(
+        L, b, lower=lower, trans=1 if trans else 0
+    )
+
+
+def assemble_blocks(G, B, C, P_diag, rho_vec, sigma):
+    """Build the tridiagonal blocks of M = P + sigma I + A^T diag(rho) A.
+
+    G, B, C: (N, m, ndx), (N, m, nu), (N, m, ndx) stage Jacobians; node i's
+    rows touch s_i via [G_i B_i] and s_{i+1} via [C_i 0].
+    P_diag: (N+1, s) diagonal Hessian (includes the factor 2).
+    rho_vec: (N, m) per-row penalty (OSQP uses 1e3 x rho on equality rows).
+    Returns H (N+1, s, s) diagonal blocks and U (N, s, s) couplings.
+    """
+    N, m, ndx = G.shape
+    nu = B.shape[2]
+    s = ndx + nu
+
+    A = jnp.concatenate([G, B], axis=2)  # (N, m, s)
+    D = jnp.concatenate([C, jnp.zeros((N, m, nu), dtype=C.dtype)], axis=2)
+
+    rA = rho_vec[:, :, None] * A
+    AtA = jnp.einsum("nms,nmt->nst", rA, A)
+    DtD = jnp.einsum("nms,nmt->nst", rho_vec[:, :, None] * D, D)
+    AtD = jnp.einsum("nms,nmt->nst", rA, D)
+
+    H = jnp.zeros((N + 1, s, s), dtype=G.dtype)
+    H = H.at[:N].add(AtA)
+    H = H.at[1:].add(DtD)
+    H = H + jax.vmap(jnp.diag)(P_diag + sigma)
+    U = AtD
+    return H, U, A, D
+
+
+def factorize(H, U):
+    """Blocked Cholesky of the tridiagonal M via lax.scan.
+
+    M = L L^T with L block lower-bidiagonal: L_{ii} = L_i,
+    L_{i+1,i} = F_i^T where F_i = L_i^{-1} U_i.
+    """
+    s = H.shape[1]
+
+    def step(carry, inp):
+        prev_F = carry  # F_{i-1} (or zeros for i=0)
+        H_i, U_i = inp
+        S = H_i - prev_F.T @ prev_F
+        # f32 jitter: keeps the Schur complements SPD under roundoff
+        S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
+        L_i = jnp.linalg.cholesky(S)
+        F_i = _tri_solve(L_i, U_i)
+        return F_i, (L_i, F_i)
+
+    U_pad = jnp.concatenate([U, jnp.zeros((1, s, s), dtype=H.dtype)], axis=0)
+    _, (L, F) = lax.scan(step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad))
+    return BlockTridiagFactor(L=L, F=F[:-1])
+
+
+def solve_factorized(fac: BlockTridiagFactor, b):
+    """Solve M x = b given the blocked factor; b is (N+1, s)."""
+    L, F = fac.L, fac.F
+    s = b.shape[1]
+    Fp = jnp.concatenate([jnp.zeros((1, s, s), dtype=b.dtype), F], axis=0)
+
+    def fwd(y_prev, inp):
+        L_i, F_im1, b_i = inp
+        y_i = _tri_solve(L_i, b_i - F_im1.T @ y_prev)
+        return y_i, y_i
+
+    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=b.dtype), (L, Fp, b))
+
+    Fn = jnp.concatenate([F, jnp.zeros((1, s, s), dtype=b.dtype)], axis=0)
+
+    def bwd(x_next, inp):
+        L_i, F_i, y_i = inp
+        x_i = _tri_solve(L_i, y_i - F_i @ x_next, trans=True)
+        return x_i, x_i
+
+    _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (L, Fn, Y), reverse=True)
+    return X
+
+
+def _A_matvec(A, D, X):
+    """w_i = A_i s_i + D_i s_{i+1}; X is (N+1, s) -> (N, m)."""
+    return jnp.einsum("nms,ns->nm", A, X[:-1]) + jnp.einsum(
+        "nms,ns->nm", D, X[1:]
+    )
+
+
+def _At_matvec(A, D, W):
+    """X_i = A_i^T w_i + D_{i-1}^T w_{i-1}; W is (N, m) -> (N+1, s)."""
+    N, m = W.shape
+    s = A.shape[2]
+    out = jnp.zeros((N + 1, s), dtype=W.dtype)
+    out = out.at[:-1].add(jnp.einsum("nms,nm->ns", A, W))
+    out = out.at[1:].add(jnp.einsum("nms,nm->ns", D, W))
+    return out
+
+
+def ruiz_equilibrate(G, B, C, P_diag, iters):
+    """Modified Ruiz equilibration of [P A^T; A 0] (OSQP's scaling), adapted
+    to the stage-block structure.
+
+    Returns row scalings E (N, m) and column scalings Dc (N+1, s).  Column j
+    of stage block i appears in P (diagonal), in node i's rows through
+    [G_i B_i], and (dx part only) in node i-1's rows through C_{i-1}.
+    """
+    N, m, ndx = G.shape
+    nu = B.shape[2]
+    s = ndx + nu
+    dt = G.dtype
+    E = jnp.ones((N, m), dtype=dt)
+    Dc = jnp.ones((N + 1, s), dtype=dt)
+
+    def body(_, carry):
+        E, Dc = carry
+        A = jnp.concatenate([G, B], axis=2) * E[:, :, None] * Dc[:-1, None, :]
+        D = C * E[:, :, None] * Dc[1:, None, :ndx]
+        # row inf-norms over [A D]
+        row_norm = jnp.maximum(
+            jnp.max(jnp.abs(A), axis=2), jnp.max(jnp.abs(D), axis=2)
+        )
+        # Zero (masked) rows keep unit scaling — amplifying them would blow
+        # up their stored duals when the contact schedule reactivates them.
+        E_new = jnp.where(
+            row_norm > 1e-8, E / jnp.sqrt(jnp.maximum(row_norm, 1e-8)), E
+        )
+        E_new = jnp.clip(E_new, 1e-4, 1e4)  # OSQP MIN/MAX_SCALING
+        # column inf-norms: P diag + all touching rows
+        colA = jnp.max(jnp.abs(A), axis=1)  # (N, s)
+        colD = jnp.max(jnp.abs(D), axis=1)  # (N, ndx)
+        col = jnp.zeros((N + 1, s), dtype=dt)
+        col = col.at[:-1].max(colA)
+        col = col.at[1:, :ndx].max(colD)
+        col = jnp.maximum(col, jnp.abs(P_diag) * Dc * Dc)
+        Dc_new = jnp.where(
+            col > 1e-8, Dc / jnp.sqrt(jnp.maximum(col, 1e-8)), Dc
+        )
+        Dc_new = jnp.clip(Dc_new, 1e-4, 1e4)
+        return E_new, Dc_new
+
+    E, Dc = lax.fori_loop(0, iters, body, (E, Dc))
+    return E, Dc
+
+
+def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
+               x0=None, z0=None, y0=None):
+    """Solve min 1/2 d^T P d + q^T d  s.t.  l <= A d <= u  (OSQP splitting).
+
+    Returns (d, z, y): primal step (N+1, s), constraint auxiliary (N, m) and
+    duals (N, m) for warm starting the next MPC tick (reference carries
+    lam_g the same way, ocp.py:373).
+    """
+    N, m, _ = G.shape
+    ndx = G.shape[2]
+    s = P_diag.shape[1]
+
+    # Per-row penalty from the *unscaled* bounds: OSQP boosts rho by 1e3 on
+    # equality rows (l == u).
+    rho_vec = jnp.where(u - l < 1e-7, 1e3 * cfg.rho, cfg.rho)
+
+    # Ruiz equilibration (OSQP scaling; the reference relies on OSQP's
+    # built-in scaling, osqp defaults at ocp.py:305-313).
+    if cfg.scaling_iters > 0:
+        E, Dc = ruiz_equilibrate(G, B, C, P_diag, cfg.scaling_iters)
+    else:
+        E = jnp.ones((N, m), dtype=q.dtype)
+        Dc = jnp.ones((N + 1, s), dtype=q.dtype)
+    G = G * E[:, :, None] * Dc[:-1, None, :ndx]
+    B = B * E[:, :, None] * Dc[:-1, None, ndx:]
+    C = C * E[:, :, None] * Dc[1:, None, :ndx]
+    P_diag = P_diag * Dc * Dc
+    q = q * Dc
+    l = l * E
+    u = u * E
+
+    H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma)
+    fac = factorize(H, U)
+
+    x = jnp.zeros((N + 1, s), dtype=q.dtype) if x0 is None else x0 / Dc
+    z = jnp.zeros((N, m), dtype=q.dtype) if z0 is None else z0 * E
+    y = jnp.zeros((N, m), dtype=q.dtype) if y0 is None else y0 / E
+
+    def body(_, carry):
+        x, z, y = carry
+        rhs = cfg.sigma * x - q + _At_matvec(A, D, rho_vec * z - y)
+        x_t = solve_factorized(fac, rhs)
+        z_t = _A_matvec(A, D, x_t)
+        x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
+        z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
+        z_new = jnp.clip(z_relax + y / rho_vec, l, u)
+        y_new = y + rho_vec * (z_relax - z_new)
+        return x_new, z_new, y_new
+
+    x, z, y = lax.fori_loop(0, cfg.iters, body, (x, z, y))
+    # Unscale back to problem units.
+    return x * Dc, z / E, y * E

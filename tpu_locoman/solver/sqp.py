@@ -1,0 +1,155 @@
+"""SQP outer loop with Armijo-style filter line search.
+
+TPU-native counterpart of the reference's custom OSQP-SQP solver
+(ocp.py:375-422) including its line-search acceptance logic (ocp.py:430-496).
+One jitted solve = linearize (vmapped jacfwd) -> block-tridiagonal ADMM QP ->
+vectorized line search.  The while-loop line search of the reference is
+replaced by evaluating all candidate step sizes in parallel and replaying
+the same sequential acceptance rules as a cheap lax.scan over scalars.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .qp import ADMMConfig, admm_solve
+
+
+class SQPConfig(NamedTuple):
+    sqp_iters: int = 1  # reference runs 1 SQP iteration per tick (ocp.py:383)
+    admm: ADMMConfig = ADMMConfig()
+    line_search: bool = True
+    # Line-search parameters (ocp.py:431-438).
+    armijo_factor: float = 1e-4
+    a_decay: float = 0.5
+    n_trials: int = 14  # a = 1, 0.5, ..., 0.5^13 > a_min = 1e-4
+    g_max: float = 1e-3
+    g_min: float = 1e-5
+    gamma: float = 1e-5
+
+
+class SolverState(NamedTuple):
+    """Warm-start carry between MPC ticks (primal iterate + ADMM duals,
+    mirroring the reference's DX_prev/U_prev/lam_g persistence,
+    ocp.py:196-198,373)."""
+
+    Z: jnp.ndarray  # (N+1, s)
+    z_admm: jnp.ndarray  # (N, m)
+    y_admm: jnp.ndarray  # (N, m)
+
+
+class SQPSolver:
+    def __init__(self, transcription, config: SQPConfig = SQPConfig()):
+        self.trans = transcription
+        self.cfg = config
+
+    def init_state(self, dtype=jnp.float32):
+        t = self.trans
+        return SolverState(
+            Z=jnp.zeros((t.nodes + 1, t.s), dtype=dtype),
+            z_admm=jnp.zeros((t.nodes, t.m), dtype=dtype),
+            y_admm=jnp.zeros((t.nodes, t.m), dtype=dtype),
+        )
+
+    def _violation(self, g, l, u):
+        viol = jnp.maximum(0.0, l - g) + jnp.maximum(0.0, g - u)
+        return jnp.sqrt(jnp.sum(viol * viol))
+
+    def _line_search(self, Z, d, obj, stage_params, shared, l_b, u_b):
+        """Vectorized replay of ocp.py:430-480."""
+        cfg = self.cfg
+        t = self.trans
+        alphas = cfg.a_decay ** jnp.arange(cfg.n_trials, dtype=Z.dtype)
+
+        def merit(alpha):
+            Zc = Z + alpha * d
+            f = t.objective_value(Zc, obj)
+            g = t.evaluate(Zc, stage_params, shared)
+            return f, self._violation(g, l_b, u_b)
+
+        new_fs, new_gs = jax.vmap(merit)(alphas)
+
+        f0 = t.objective_value(Z, obj)
+        g0 = self._violation(t.evaluate(Z, stage_params, shared), l_b, u_b)
+        armijo_metric = jnp.sum(t.objective_gradient(Z, obj) * d)
+
+        def step(carry, inp):
+            accepted, alpha_acc = carry
+            alpha_k, new_f, new_g = inp
+            # Acceptance rules (ocp.py:448-467), evaluated against the
+            # incumbent iterate (f0, g0). The reference compares against the
+            # previous *trial* instead, which lets a diverging step get
+            # accepted because it "improves" on an even worse trial; using
+            # the incumbent is the stable variant of the same filter.
+            c1 = (new_g > cfg.g_max) & (new_g < (1.0 - cfg.gamma) * g0)
+            c2 = (
+                (new_g <= cfg.g_max)
+                & (jnp.maximum(new_g, g0) < cfg.g_min)
+                & (armijo_metric < 0)
+                & (new_f <= f0 + cfg.armijo_factor * armijo_metric * alpha_k)
+            )
+            c3 = (
+                (new_g <= cfg.g_max)
+                & ~(jnp.maximum(new_g, g0) < cfg.g_min)
+                & (
+                    (new_f <= f0 - cfg.gamma * new_g)
+                    | (new_g < (1.0 - cfg.gamma) * g0)
+                )
+            )
+            accept_now = (~accepted) & (c1 | c2 | c3)
+            alpha_acc = jnp.where(accept_now, alpha_k, alpha_acc)
+            return (accepted | accept_now, alpha_acc), None
+
+        (accepted, alpha_acc), _ = lax.scan(
+            step,
+            (jnp.array(False), jnp.zeros((), Z.dtype)),
+            (alphas, new_fs, new_gs),
+        )
+        alpha = jnp.where(accepted, alpha_acc, 0.0)
+        return Z + alpha * d, alpha
+
+    def solve(self, state: SolverState, stage_params, shared):
+        """One MPC solve. Returns (new_state, stats dict)."""
+        t = self.trans
+        cfg = self.cfg
+        obj = t.objective_data(shared)
+        P_diag = t.hessian_diag(obj)
+        l_b, u_b = t.bounds(stage_params, shared)
+
+        Z = state.Z
+        z_admm, y_admm = state.z_admm, state.y_admm
+        alpha = jnp.zeros((), Z.dtype)
+
+        for _ in range(cfg.sqp_iters):
+            g, G, B, C = t.linearize(Z, stage_params, shared)
+            q = t.objective_gradient(Z, obj)
+            l = l_b - g
+            u = u_b - g
+            d, z_admm, y_admm = admm_solve(
+                G, B, C, P_diag, q, l, u, cfg.admm, z0=z_admm, y0=y_admm
+            )
+            # A failed solve (NaN) must not poison the iterate: treat it as
+            # a zero step, like the reference's opti.debug fallback
+            # (ocp.py:362-365).
+            bad = jnp.any(jnp.isnan(d))
+            d = jnp.where(bad, jnp.zeros_like(d), d)
+            z_admm = jnp.where(bad, jnp.zeros_like(z_admm), z_admm)
+            y_admm = jnp.where(bad, jnp.zeros_like(y_admm), y_admm)
+            if cfg.line_search:
+                Z, alpha = self._line_search(
+                    Z, d, obj, stage_params, shared, l_b, u_b
+                )
+            else:
+                Z = Z + d
+                alpha = jnp.ones((), Z.dtype)
+
+        g_final = t.evaluate(Z, stage_params, shared)
+        viol = jnp.maximum(0.0, l_b - g_final) + jnp.maximum(0.0, g_final - u_b)
+        stats = {
+            "max_violation": jnp.max(viol),
+            "objective": t.objective_value(Z, obj),
+            "alpha": alpha,
+        }
+        return SolverState(Z=Z, z_admm=z_admm, y_admm=y_admm), stats
