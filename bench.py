@@ -1,0 +1,93 @@
+"""Benchmark: batched MPC solves/s/chip on the flagship configuration.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference publishes no numbers; the north-star
+target is >= 10k batched MPC solves/s on one v5p host (~4 chips), i.e.
+2500 solves/s/chip. vs_baseline = solves_per_s_per_chip / 2500.
+
+Config mirrors the reference operating point (run_mpc.py:13-19): B2G,
+whole_body_rnea, trot 0.8 s, N=14, dt 0.01->0.08.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_locoman import B2G, MPC, SQPConfig, ADMMConfig
+    from tpu_locoman.parallel import batched_step, batched_init
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    nodes = int(os.environ.get("BENCH_NODES", "14"))
+    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "100"))
+    sqp_iters = int(os.environ.get("BENCH_SQP_ITERS", "1"))
+    timed_ticks = int(os.environ.get("BENCH_TICKS", "10"))
+
+    robot = B2G()
+    robot.set_gait_sequence("trot", 0.8)
+    mpc = MPC(
+        robot,
+        dynamics="whole_body_rnea",
+        nodes=nodes,
+        config=SQPConfig(sqp_iters=sqp_iters, admm=ADMMConfig(iters=admm_iters)),
+    )
+
+    carries = batched_init(mpc, batch)
+    targets = jnp.tile(
+        jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32), (batch, 1)
+    )
+    step = batched_step(mpc, donate=False)
+
+    # Warmup (compile + 2 ticks).
+    t0 = time.time()
+    carries, _ = step(carries, jnp.float32(0.0), targets)
+    jax.block_until_ready(carries.x_init)
+    compile_s = time.time() - t0
+    carries, _ = step(carries, jnp.float32(0.01), targets)
+    jax.block_until_ready(carries.x_init)
+
+    t0 = time.time()
+    for k in range(timed_ticks):
+        carries, stats = step(
+            carries, jnp.float32((k + 2) * mpc.dt_min), targets
+        )
+    jax.block_until_ready(carries.x_init)
+    elapsed = time.time() - t0
+
+    n_dev = len(jax.devices())
+    solves = batch * timed_ticks
+    solves_per_s = solves / elapsed
+    per_chip = solves_per_s / max(1, n_dev)
+    result = {
+        "metric": "b2g_whole_body_rnea_trot_N14_mpc_solves_per_s_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(per_chip / 2500.0, 4),
+        "extra": {
+            "batch": batch,
+            "nodes": nodes,
+            "sqp_iters": sqp_iters,
+            "admm_iters": admm_iters,
+            "timed_ticks": timed_ticks,
+            "elapsed_s": round(elapsed, 3),
+            "compile_s": round(compile_s, 1),
+            "p50_latency_ms_per_tick": round(1000 * elapsed / timed_ticks, 2),
+            "devices": n_dev,
+            "platform": jax.devices()[0].platform,
+            "max_violation_mean": float(
+                np.asarray(stats["max_violation"]).mean()
+            ),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
