@@ -34,10 +34,17 @@ class ADMMConfig(NamedTuple):
 
 class BlockTridiagFactor(NamedTuple):
     """Cholesky factor of the block-tridiagonal M: per-stage lower blocks
-    L_i and sub-diagonal factors F_i = L_i^{-1} U_i."""
+    L_i, sub-diagonal factors F_i = L_i^{-1} U_i, and the explicit inverses
+    Linv_i.
+
+    Linv is precomputed once per factorization so that the many ADMM
+    back-substitutions become batched GEMMs on the MXU instead of
+    sequential triangular solves (XLA lowers trsm to an O(s) sweep, which
+    serialized the hot loop)."""
 
     L: jnp.ndarray  # (N+1, s, s)
     F: jnp.ndarray  # (N, s, s)
+    Linv: jnp.ndarray  # (N+1, s, s)
 
 
 def _tri_solve(L, b, lower=True, trans=False):
@@ -95,30 +102,35 @@ def factorize(H, U):
 
     U_pad = jnp.concatenate([U, jnp.zeros((1, s, s), dtype=H.dtype)], axis=0)
     _, (L, F) = lax.scan(step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad))
-    return BlockTridiagFactor(L=L, F=F[:-1])
+    eye = jnp.eye(s, dtype=H.dtype)
+    Linv = jax.vmap(lambda Li: _tri_solve(Li, eye))(L)
+    return BlockTridiagFactor(L=L, F=F[:-1], Linv=Linv)
 
 
 def solve_factorized(fac: BlockTridiagFactor, b):
-    """Solve M x = b given the blocked factor; b is (N+1, s)."""
-    L, F = fac.L, fac.F
+    """Solve M x = b given the blocked factor; b is (N+1, s).
+
+    Uses the precomputed Linv so every scan step is a GEMM (batched over
+    scenarios under vmap) rather than a sequential triangular solve."""
+    F, Linv = fac.F, fac.Linv
     s = b.shape[1]
     Fp = jnp.concatenate([jnp.zeros((1, s, s), dtype=b.dtype), F], axis=0)
 
     def fwd(y_prev, inp):
-        L_i, F_im1, b_i = inp
-        y_i = _tri_solve(L_i, b_i - F_im1.T @ y_prev)
+        Linv_i, F_im1, b_i = inp
+        y_i = Linv_i @ (b_i - F_im1.T @ y_prev)
         return y_i, y_i
 
-    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=b.dtype), (L, Fp, b))
+    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=b.dtype), (Linv, Fp, b))
 
     Fn = jnp.concatenate([F, jnp.zeros((1, s, s), dtype=b.dtype)], axis=0)
 
     def bwd(x_next, inp):
-        L_i, F_i, y_i = inp
-        x_i = _tri_solve(L_i, y_i - F_i @ x_next, trans=True)
+        Linv_i, F_i, y_i = inp
+        x_i = Linv_i.T @ (y_i - F_i @ x_next)
         return x_i, x_i
 
-    _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (L, Fn, Y), reverse=True)
+    _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (Linv, Fn, Y), reverse=True)
     return X
 
 
