@@ -18,6 +18,11 @@ import time
 
 def main():
     import jax
+
+    # Persistent compilation cache: bench reruns skip the (minutes-long)
+    # XLA compile of the full MPC program.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -21,3 +21,6 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeated test runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

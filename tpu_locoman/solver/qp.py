@@ -6,11 +6,12 @@ Jacobian of the transcription couples only adjacent stages, so
 
     M = P + sigma*I + rho * A^T A
 
-is block-tridiagonal in the stage blocks s_i = [dx_i, u_i].  We factor M
-once per SQP iteration with a blocked Cholesky (lax.scan over the horizon)
-and run fixed-count ADMM iterations, each costing two triangular sweeps.
-Everything is shape-static and vmappable over scenario batches: the s x s
-block operations become large batched GEMMs on the MXU.
+is block-tridiagonal in the stage blocks s_i = [dx_i, u_i] (with per-row
+rho, boosted 1e3x on equality rows as OSQP does).  We factor M once per SQP
+iteration with a blocked Cholesky (lax.scan over the horizon), explicitly
+invert the triangular blocks with GEMM-based nilpotent doubling, and run
+fixed-count ADMM iterations whose sweeps are then pure batched GEMMs on the
+MXU — no sequential triangular solves anywhere in the hot loop.
 
 OSQP parameters mirror the reference settings (ocp.py:267-273):
 alpha = 1.4 relaxation, rho = 2e-2 fixed, warm started.
@@ -82,6 +83,38 @@ def assemble_blocks(G, B, C, P_diag, rho_vec, sigma):
     return H, U, A, D
 
 
+def tri_inverse_lower(L, nb=3):
+    """Inverse of a lower-triangular matrix via block-nilpotent doubling —
+    all GEMMs (MXU) instead of an O(s)-sequential triangular solve.
+
+    L = D + N with D the (nb-)block diagonal; A = -D^{-1} N is nilpotent
+    with A^nb = 0, so L^{-1} = (sum_{j<nb} A^j) D^{-1} computed by doubling.
+    Only the small diagonal blocks use a real triangular solve.
+    """
+    s = L.shape[-1]
+    b = -(-s // nb)  # ceil
+    pad = nb * b - s
+    if pad:
+        # pad with identity diagonal to keep triangular + invertible
+        L = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(
+            jnp.concatenate([jnp.zeros(s, L.dtype), jnp.ones(pad, L.dtype)])
+        )
+    sp = nb * b
+    blocks = jnp.stack([L[i * b:(i + 1) * b, i * b:(i + 1) * b] for i in range(nb)])
+    eye_b = jnp.eye(b, dtype=L.dtype)
+    dinv_blocks = jax.vmap(lambda Li: _tri_solve(Li, eye_b))(blocks)
+    Dinv = jax.scipy.linalg.block_diag(*[dinv_blocks[i] for i in range(nb)])
+    N = L - jax.scipy.linalg.block_diag(*[blocks[i] for i in range(nb)])
+    A = -Dinv @ N
+    # sum_{j<nb} A^j by doubling (nb <= 4 covered by two steps)
+    P = jnp.eye(sp, dtype=L.dtype) + A
+    if nb > 2:
+        A2 = A @ A
+        P = P + A2 @ P  # I + A + A^2 + A^3 (extra nilpotent powers vanish)
+    Linv = P @ Dinv
+    return Linv[:s, :s] if pad else Linv
+
+
 def factorize(H, U):
     """Blocked Cholesky of the tridiagonal M via lax.scan.
 
@@ -97,13 +130,14 @@ def factorize(H, U):
         # f32 jitter: keeps the Schur complements SPD under roundoff
         S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
         L_i = jnp.linalg.cholesky(S)
-        F_i = _tri_solve(L_i, U_i)
-        return F_i, (L_i, F_i)
+        Linv_i = tri_inverse_lower(L_i)
+        F_i = Linv_i @ U_i
+        return F_i, (L_i, Linv_i, F_i)
 
     U_pad = jnp.concatenate([U, jnp.zeros((1, s, s), dtype=H.dtype)], axis=0)
-    _, (L, F) = lax.scan(step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad))
-    eye = jnp.eye(s, dtype=H.dtype)
-    Linv = jax.vmap(lambda Li: _tri_solve(Li, eye))(L)
+    _, (L, Linv, F) = lax.scan(
+        step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad)
+    )
     return BlockTridiagFactor(L=L, F=F[:-1], Linv=Linv)
 
 
