@@ -23,6 +23,11 @@ def main():
     # XLA compile of the full MPC program.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TPU matmuls default to bf16; the KKT solve needs f32 accumulate.
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("BENCH_MATMUL_PRECISION", "highest"),
+    )
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,20 +55,22 @@ def main():
     )
     step = batched_step(mpc, donate=False)
 
-    # Warmup (compile + 2 ticks).
+    # Warmup (compile + 2 ticks). NOTE: block_until_ready is not reliable
+    # over the remote-TPU relay; a host device_get is the only trustworthy
+    # completion barrier, so timings bracket a full host round trip.
     t0 = time.time()
     carries, _ = step(carries, jnp.float32(0.0), targets)
-    jax.block_until_ready(carries.x_init)
+    np.asarray(jax.device_get(carries.x_init))
     compile_s = time.time() - t0
     carries, _ = step(carries, jnp.float32(0.01), targets)
-    jax.block_until_ready(carries.x_init)
+    np.asarray(jax.device_get(carries.x_init))
 
     t0 = time.time()
     for k in range(timed_ticks):
         carries, stats = step(
             carries, jnp.float32((k + 2) * mpc.dt_min), targets
         )
-    jax.block_until_ready(carries.x_init)
+    np.asarray(jax.device_get(carries.x_init))
     elapsed = time.time() - t0
 
     n_dev = len(jax.devices())
