@@ -111,7 +111,15 @@ class SQPSolver:
         return Z + alpha * d, alpha
 
     def solve(self, state: SolverState, stage_params, shared):
-        """One MPC solve. Returns (new_state, stats dict)."""
+        """One MPC solve. Returns (new_state, stats dict).
+
+        Wrapped in highest matmul precision: TPU's default bf16 matmul
+        passes destroy KKT-solve accuracy (violations 0.8 -> 190 on the
+        flagship config)."""
+        with jax.default_matmul_precision("highest"):
+            return self._solve(state, stage_params, shared)
+
+    def _solve(self, state: SolverState, stage_params, shared):
         t = self.trans
         cfg = self.cfg
         obj = t.objective_data(shared)
