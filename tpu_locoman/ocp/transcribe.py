@@ -78,12 +78,19 @@ class Transcription:
                        shared: SharedParams):
         """All constraint rows of one node (ocp.py:103-198 + subclass
         dynamics constraints)."""
+        from .. import rbda
+
         form = self.form
         dx = dx * sp.node0_mask  # pinned initial state (ocp.py:109)
         rows = [form.dyn_residual(shared.x_init, dx, u, dx_next, sp)]
 
         d = form.decode(shared.x_init, dx, u)
         q, v, forces = d["q"], d["v"], d["forces"]
+
+        # One chain pass shared by every frame-velocity constraint at this
+        # node (the reference rebuilds a CasADi graph per frame; here the
+        # kinematics are computed once).
+        kin = rbda.fk_vel(form.model, q, v)
 
         # Per-foot contact/swing equalities (ocp.py:121-157).
         swing_force, vel_xy_rows, vel_z_rows = [], [], []
@@ -92,7 +99,9 @@ class Transcription:
             f_e = forces[3 * idx: 3 * idx + 3]
             swing_force.append((1.0 - c) * f_e)
 
-            vel = form.frame_velocity(form.foot_frames[idx], q, v)
+            vel = rbda.frame_velocity_from(
+                form.model, form.foot_frames[idx], *kin
+            )
             vel_xy_rows.append(sp.state_mask * c * vel[:2])
             vel_z_des = get_spline_vel_z(
                 sp.swing[idx],
@@ -109,8 +118,10 @@ class Transcription:
             f_ext = forces[3 * form.n_feet:]
             rows.append(f_ext - shared.ext_force_des)  # ocp.py:166-168
         if self.has_arm:
-            vel = form.frame_velocity(form.arm_ee_frame, q, v,
-                                      relative_to_base=True)
+            vel = rbda.frame_velocity_from(
+                form.model, form.arm_ee_frame, *kin,
+                relative_to_base=True, base_frame=form.base_frame,
+            )
             rows.append(sp.state_mask * (vel[:3] - shared.arm_vel_des))
 
         # Inequality rows (value side; bounds in stage_bounds).

@@ -181,32 +181,39 @@ def frame_position(model, frame_name, q):
     return p
 
 
+def frame_velocity_lwa_from(model, frame_name, R_w, p_w, v_loc):
+    """LOCAL_WORLD_ALIGNED frame velocity from precomputed kinematics
+    (R_w, p_w, v_loc from fk_vel) — lets one node's constraint stack share
+    a single chain pass."""
+    fr = model.frames[frame_name]
+    v_f = motion_act_inv(jnp.asarray(fr.R), jnp.asarray(fr.p), v_loc[fr.parent_joint])
+    R_wf = R_w[fr.parent_joint] @ jnp.asarray(fr.R)
+    return jnp.concatenate([R_wf @ v_f[:3], R_wf @ v_f[3:]])
+
+
 def frame_velocity_lwa(model, frame_name, q, v):
     """Frame spatial velocity in LOCAL_WORLD_ALIGNED coordinates.
 
     Mirrors pin.getFrameVelocity(..., LOCAL_WORLD_ALIGNED) used by
     Dynamics.get_frame_velocity (reference dynamics.py:77-118).
     """
-    fr = model.frames[frame_name]
     R_w, p_w, v_loc = fk_vel(model, q, v)
-    v_f = motion_act_inv(jnp.asarray(fr.R), jnp.asarray(fr.p), v_loc[fr.parent_joint])
-    R_wf = R_w[fr.parent_joint] @ jnp.asarray(fr.R)
-    return jnp.concatenate([R_wf @ v_f[:3], R_wf @ v_f[3:]])
+    return frame_velocity_lwa_from(model, frame_name, R_w, p_w, v_loc)
 
 
-def frame_velocity(model, frame_name, q, v, relative_to_base=False,
-                   base_frame="base_link"):
-    """Reference-parity frame velocity (dynamics.py:77-118).
+def frame_velocity_from(model, frame_name, R_w, p_w, v_loc,
+                        relative_to_base=False, base_frame="base_link"):
+    """Reference-parity frame velocity (dynamics.py:77-118) from
+    precomputed kinematics.
 
     relative_to_base subtracts the base velocity (with the angular-velocity
     lever correction), rotates x/y components into the base frame, and keeps
     z components global.
     """
-    vel = frame_velocity_lwa(model, frame_name, q, v)
+    vel = frame_velocity_lwa_from(model, frame_name, R_w, p_w, v_loc)
     if not relative_to_base:
         return vel
-    base_vel = frame_velocity_lwa(model, base_frame, q, v)
-    R_w, p_w = fk(model, q)
+    base_vel = frame_velocity_lwa_from(model, base_frame, R_w, p_w, v_loc)
     _, p_f = frame_placement(model, frame_name, R_w, p_w)
     R_b, p_b = frame_placement(model, base_frame, R_w, p_w)
     rel_pos = p_f - p_b
@@ -218,6 +225,15 @@ def frame_velocity(model, frame_name, q, v, relative_to_base=False,
     return jnp.concatenate([
         rel_lin_b[:2], vel[2:3], rel_ang_b[:2], vel[5:6]
     ])
+
+
+def frame_velocity(model, frame_name, q, v, relative_to_base=False,
+                   base_frame="base_link"):
+    """Reference-parity frame velocity (dynamics.py:77-118)."""
+    R_w, p_w, v_loc = fk_vel(model, q, v)
+    return frame_velocity_from(
+        model, frame_name, R_w, p_w, v_loc, relative_to_base, base_frame
+    )
 
 
 def frame_jacobian_lwa(model, frame_name, q):

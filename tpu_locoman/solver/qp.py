@@ -30,7 +30,7 @@ class ADMMConfig(NamedTuple):
     rho: float = 2e-2  # ocp.py:270
     sigma: float = 1e-6  # OSQP default
     alpha: float = 1.4  # ocp.py:269
-    scaling_iters: int = 5  # Ruiz equilibration sweeps (OSQP default 10)
+    scaling_iters: int = 3  # Ruiz equilibration sweeps (OSQP default 10)
 
 
 class BlockTridiagFactor(NamedTuple):

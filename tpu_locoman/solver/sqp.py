@@ -57,7 +57,7 @@ class SQPSolver:
         viol = jnp.maximum(0.0, l - g) + jnp.maximum(0.0, g - u)
         return jnp.sqrt(jnp.sum(viol * viol))
 
-    def _line_search(self, Z, d, obj, stage_params, shared, l_b, u_b):
+    def _line_search(self, Z, d, obj, stage_params, shared, l_b, u_b, g_at_Z):
         """Vectorized replay of ocp.py:430-480."""
         cfg = self.cfg
         t = self.trans
@@ -72,7 +72,7 @@ class SQPSolver:
         new_fs, new_gs = jax.vmap(merit)(alphas)
 
         f0 = t.objective_value(Z, obj)
-        g0 = self._violation(t.evaluate(Z, stage_params, shared), l_b, u_b)
+        g0 = self._violation(g_at_Z, l_b, u_b)  # reuse linearize's residual
         armijo_metric = jnp.sum(t.objective_gradient(Z, obj) * d)
 
         def step(carry, inp):
@@ -147,7 +147,7 @@ class SQPSolver:
             y_admm = jnp.where(bad, jnp.zeros_like(y_admm), y_admm)
             if cfg.line_search:
                 Z, alpha = self._line_search(
-                    Z, d, obj, stage_params, shared, l_b, u_b
+                    Z, d, obj, stage_params, shared, l_b, u_b, g
                 )
             else:
                 Z = Z + d
