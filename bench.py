@@ -34,11 +34,12 @@ def main():
     from tpu_locoman import B2G, MPC, SQPConfig, ADMMConfig
     from tpu_locoman.parallel import batched_step, batched_init
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     nodes = int(os.environ.get("BENCH_NODES", "14"))
-    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "100"))
+    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "25"))
     sqp_iters = int(os.environ.get("BENCH_SQP_ITERS", "1"))
     timed_ticks = int(os.environ.get("BENCH_TICKS", "10"))
+    qp_precision = os.environ.get("BENCH_QP_PRECISION", "highest")
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -46,7 +47,10 @@ def main():
         robot,
         dynamics="whole_body_rnea",
         nodes=nodes,
-        config=SQPConfig(sqp_iters=sqp_iters, admm=ADMMConfig(iters=admm_iters)),
+        config=SQPConfig(
+            sqp_iters=sqp_iters,
+            admm=ADMMConfig(iters=admm_iters, precision=qp_precision),
+        ),
     )
 
     carries = batched_init(mpc, batch)
@@ -87,6 +91,7 @@ def main():
             "nodes": nodes,
             "sqp_iters": sqp_iters,
             "admm_iters": admm_iters,
+            "qp_precision": qp_precision,
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),
             "compile_s": round(compile_s, 1),

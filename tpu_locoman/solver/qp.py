@@ -31,6 +31,11 @@ class ADMMConfig(NamedTuple):
     sigma: float = 1e-6  # OSQP default
     alpha: float = 1.4  # ocp.py:269
     scaling_iters: int = 3  # Ruiz equilibration sweeps (OSQP default 10)
+    eq_boost: float = 1e3  # rho multiplier on equality rows (OSQP default)
+    # Matmul precision for the QP linear algebra. "highest" = true f32
+    # (6-pass bf16 on TPU); "bfloat16_3x" halves the pass count at ~1e-6
+    # relative error, usually indistinguishable at ADMM tolerances.
+    precision: str = "highest"
 
 
 class BlockTridiagFactor(NamedTuple):
@@ -239,13 +244,18 @@ def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
     duals (N, m) for warm starting the next MPC tick (reference carries
     lam_g the same way, ocp.py:373).
     """
+    with jax.default_matmul_precision(cfg.precision):
+        return _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0)
+
+
+def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
     N, m, _ = G.shape
     ndx = G.shape[2]
     s = P_diag.shape[1]
 
-    # Per-row penalty from the *unscaled* bounds: OSQP boosts rho by 1e3 on
+    # Per-row penalty from the *unscaled* bounds: OSQP boosts rho on
     # equality rows (l == u).
-    rho_vec = jnp.where(u - l < 1e-7, 1e3 * cfg.rho, cfg.rho)
+    rho_vec = jnp.where(u - l < 1e-7, cfg.eq_boost * cfg.rho, cfg.rho)
 
     # Ruiz equilibration (OSQP scaling; the reference relies on OSQP's
     # built-in scaling, osqp defaults at ocp.py:305-313).
