@@ -249,6 +249,89 @@ def frame_jacobian_lwa(model, frame_name, q):
 
 
 # ---------------------------------------------------------------------------
+# World-frame masked-sum machinery (the TPU-native reformulation).
+#
+# All per-link spatial quantities are expressed at the WORLD ORIGIN in world
+# axes. With a constant ancestry mask anc (n_links, nv) — anc[i, j] = 1 iff
+# dof j moves link i — the usual tree recursions become dense masked
+# einsums over links, fully parallel and with tiny trace graphs:
+#
+#   v_i = sum_j anc[i,j] s_j qdot_j         (s_j = world motion axis of dof j)
+#   a_i = sum_j anc[i,j] (s_j qddot_j + (v_(j) x s_j) qdot_j)
+#   tau_j = sum_i anc[i,j] s_j . f_i        (f_i = world spatial body force)
+#   M = sum_i J_i^T I_i^w J_i,  J_i = anc_i * S_w
+#
+# Only forward kinematics stays a (19-step, 3x3) chain walk.
+# ---------------------------------------------------------------------------
+
+def _ancestry_mask(model):
+    """Constant (n_links, nv) 0/1 mask: dof j moves link i."""
+    cached = getattr(model, "_anc_mask", None)
+    if cached is not None:
+        return cached
+    n = model.n_links
+    anc = np.zeros((n, model.nv), dtype=np.float32)
+    anc[:, :6] = 1.0  # free-flyer moves everything
+    for i in range(1, n):
+        j = i
+        while j != 0:
+            anc[i, 6 + j - 1] = 1.0
+            j = model.parent[j]
+    object.__setattr__(model, "_anc_mask", anc)
+    return anc
+
+
+def _world_motion_axes(model, R_w, p_w):
+    """S_w (nv, 6): world-origin spatial axis of every dof.
+
+    Base dofs: columns of the motion transform of the base placement
+    (base twist is body-local, Pinocchio convention). Revolute dof j:
+    omega = R_j axis, v_origin = p_j x omega.
+    """
+    Xb = motion_transform_matrix(R_w[0], p_w[0])  # (6, 6)
+    rows = [Xb.T[k] for k in range(6)]  # column k as a row vector
+    for i in range(1, model.n_links):
+        w = R_w[i] @ jnp.asarray(np.asarray(model.axis[i], dtype=np.float32))
+        rows.append(jnp.concatenate([jnp.cross(p_w[i], w), w]))
+    return jnp.stack(rows)  # (nv, 6)
+
+
+def _world_inertias(model, R_w, p_w):
+    """Stacked world-origin 6x6 spatial inertias per link."""
+    Is = []
+    for i in range(model.n_links):
+        I_loc = inertia_matrix(model.mass[i], model.com[i], model.inertia[i])
+        XF = force_transform_matrix(R_w[i], p_w[i])
+        XM_inv = motion_transform_matrix(R_w[i].T, -R_w[i].T @ p_w[i])
+        Is.append(XF @ I_loc @ XM_inv)
+    return jnp.stack(Is)  # (n, 6, 6)
+
+
+def _link_of_dof(model):
+    """Constant (nv,) link index carrying each dof (base dofs -> link 0)."""
+    cached = getattr(model, "_dof_link", None)
+    if cached is not None:
+        return cached
+    out = np.array([0] * 6 + list(range(1, model.n_links)), dtype=np.int32)
+    object.__setattr__(model, "_dof_link", out)
+    return out
+
+
+def _world_kinematics(model, q, v):
+    """Shared world-frame data: R_w, p_w, S_w, link velocities, bias terms."""
+    R_w, p_w = fk(model, q)
+    anc = jnp.asarray(_ancestry_mask(model))
+    Sw = _world_motion_axes(model, R_w, p_w)  # (nv, 6)
+    sv = Sw * v[:, None]  # per-dof twist contribution
+    V = anc @ sv  # (n, 6) world link velocities
+    # velocity of the link carrying each dof
+    dof_link = _link_of_dof(model)
+    Vdof = V[dof_link]  # (nv, 6)
+    sdot = jax.vmap(motion_cross)(Vdof, Sw)  # (nv, 6) = v_(j) x s_j
+    return R_w, p_w, anc, Sw, sv, V, sdot
+
+
+# ---------------------------------------------------------------------------
 # External frame forces: world linear force -> local spatial force at the
 # parent joint, following the reference's "OCS2 implementation"
 # (dynamics.py:48-60).
@@ -282,7 +365,43 @@ def rnea(model, q, v, a, ee_frames=(), forces_world=None):
     Mirrors cpin.rnea as driven by Dynamics.rnea_dynamics (reference
     dynamics.py:33-65): forces are world-frame linear forces applied at the
     given frames.
+
+    World-frame masked-sum formulation (parallel over links): the classic
+    two-pass recursion is replaced by dense einsums against the constant
+    ancestry mask — see the module-level machinery above.
     """
+    R_w, p_w, anc, Sw, sv, V, sdot = _world_kinematics(model, q, v)
+    I_w = _world_inertias(model, R_w, p_w)
+
+    # Link accelerations (plus the uniform fictitious gravity accel).
+    sa = Sw * a[:, None] + sdot * v[:, None]
+    A_links = anc @ sa + jnp.concatenate(
+        [jnp.array([0.0, 0.0, GRAVITY]), jnp.zeros(3)]
+    )
+
+    # Body forces at the world origin: f_i = I a + v x* (I v) - f_ext.
+    Iv = jnp.einsum("nij,nj->ni", I_w, V)
+    f = jnp.einsum("nij,nj->ni", I_w, A_links) + jax.vmap(motion_cross_star)(
+        V, Iv
+    )
+    if forces_world is not None:
+        for idx, fname in enumerate(ee_frames):
+            fr = model.frames[fname]
+            jid = fr.parent_joint
+            fw = forces_world[3 * idx: 3 * idx + 3]
+            p_f = R_w[jid] @ jnp.asarray(fr.p) + p_w[jid]
+            f = f.at[jid].add(
+                -jnp.concatenate([fw, jnp.cross(p_f, fw)])
+            )
+
+    # tau_j = s_j . (sum of subtree body forces).
+    Fsum = anc.T @ f  # (nv, 6)
+    return jnp.sum(Sw * Fsum, axis=1)
+
+
+def rnea_rec(model, q, v, a, ee_frames=(), forces_world=None):
+    """Classic local-frame two-pass RNEA recursion (reference
+    implementation used for cross-validation in tests)."""
     n = model.n_links
     from .lie import quat_to_matrix
 
@@ -374,7 +493,21 @@ def _composite_inertias(model, q):
 
 
 def crba(model, q):
-    """Mass matrix M(q) (pin.crba, reference dynamics_whole_body_acc.py:55)."""
+    """Mass matrix M(q) (pin.crba, reference dynamics_whole_body_acc.py:55).
+
+    World-frame formulation: M = sum_i J_i^T I_i^w J_i with the masked
+    world Jacobians — one batched einsum over links."""
+    R_w, p_w = fk(model, q)
+    anc = jnp.asarray(_ancestry_mask(model))
+    Sw = _world_motion_axes(model, R_w, p_w)
+    I_w = _world_inertias(model, R_w, p_w)
+    J = anc[:, :, None] * Sw[None, :, :]  # (n, nv, 6)
+    IJ = jnp.einsum("ikl,ivl->ikv", I_w, J)
+    return jnp.einsum("ivk,ikw->vw", J, IJ)
+
+
+def crba_rec(model, q):
+    """Classic composite-rigid-body recursion (cross-validation)."""
     n = model.n_links
     nv = model.nv
     Ic, X = _composite_inertias(model, q)
@@ -430,19 +563,39 @@ def aba(model, q, v, tau, ee_frames=(), forces_world=None):
 # Center of mass and centroidal dynamics.
 # ---------------------------------------------------------------------------
 
-def center_of_mass(model, q):
-    """World CoM (pin.centerOfMass, reference dynamics_centroidal_vel.py:55)."""
-    R_w, p_w = fk(model, q)
+def _com_from(model, R_w, p_w):
     total = jnp.zeros(3)
     for i in range(model.n_links):
         total = total + model.mass[i] * (R_w[i] @ jnp.asarray(model.com[i]) + p_w[i])
     return total / model.total_mass
 
 
+def center_of_mass(model, q):
+    """World CoM (pin.centerOfMass, reference dynamics_centroidal_vel.py:55)."""
+    R_w, p_w = fk(model, q)
+    return _com_from(model, R_w, p_w)
+
+
 def ccrba(model, q):
     """Centroidal momentum matrix A(q) with h = A @ v, [lin, ang] about the
     CoM in world-aligned axes (pin.computeCentroidalMap, reference
-    dynamics_centroidal_vel.py:80)."""
+    dynamics_centroidal_vel.py:80).
+
+    World-frame formulation: A_O = sum_i I_i^w J_i at the world origin,
+    then the momentum is translated to the CoM."""
+    R_w, p_w = fk(model, q)
+    anc = jnp.asarray(_ancestry_mask(model))
+    Sw = _world_motion_axes(model, R_w, p_w)
+    I_w = _world_inertias(model, R_w, p_w)
+    J = anc[:, :, None] * Sw[None, :, :]  # (n, nv, 6)
+    A_O = jnp.einsum("ikl,ivl->kv", I_w, J)  # (6, nv)
+    com = _com_from(model, R_w, p_w)
+    A_ang = A_O[3:] - skew(com) @ A_O[:3]
+    return jnp.concatenate([A_O[:3], A_ang], axis=0)
+
+
+def ccrba_rec(model, q):
+    """Classic composite-inertia ccrba recursion (cross-validation)."""
     n = model.n_links
     Ic, X = _composite_inertias(model, q)
     R_w, p_w = fk(model, q)
