@@ -1,0 +1,83 @@
+"""Batched/sharded scenario tests: mesh sharding, per-scenario gait phases,
+payload variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_locoman import Go2, B2, MPC, SQPConfig, ADMMConfig
+from tpu_locoman.parallel import (
+    make_mesh, shard_batch, batched_step, batched_init,
+)
+
+CONFIG = SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=10))
+
+
+def test_sharded_batch_runs_on_mesh():
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    mpc = MPC(robot, dynamics="centroidal_acc", nodes=3, config=CONFIG)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = 16
+    carries = shard_batch(batched_init(mpc, batch), mesh)
+    targets = shard_batch(
+        jnp.tile(jnp.array([0.1, 0, 0, 0, 0, 0]), (batch, 1)), mesh
+    )
+    step = batched_step(mpc, donate=False)
+    new_carries, stats = step(carries, jnp.float32(0.0), targets)
+    assert np.asarray(stats["max_violation"]).shape == (batch,)
+    assert np.all(np.isfinite(np.asarray(new_carries.x_init)))
+
+
+def test_per_scenario_gait_phase_sweep():
+    """Each scenario at a different gait phase -> different schedules and
+    different solutions (the gait-sweep axis of BASELINE config #5)."""
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    mpc = MPC(robot, dynamics="centroidal_acc", nodes=3, config=CONFIG)
+    batch = 4
+    carries = batched_init(mpc, batch)
+    targets = jnp.tile(jnp.array([0.1, 0, 0, 0, 0, 0]), (batch, 1))
+    ts = jnp.array([0.0, 0.07, 0.13, 0.31], dtype=jnp.float32)
+    step = batched_step(mpc, donate=False, per_scenario_time=True)
+    new_carries, _ = step(carries, ts, targets)
+    x = np.asarray(new_carries.x_init)
+    assert np.all(np.isfinite(x))
+    # different phases produce different states
+    assert not np.allclose(x[0], x[3], atol=1e-5)
+
+
+def test_b2_payload_variants():
+    """B2 with front/rear payload frames adds the external-force variable
+    (reference utils/robot.py:70-76)."""
+    for payload in ["front", "rear"]:
+        robot = B2(payload=payload)
+        robot.set_gait_sequence("trot", 0.5)
+        assert robot.nf == 15
+        assert robot.ext_force_frame == f"payload_joint_{payload}"
+        mpc = MPC(robot, dynamics="whole_body_rnea", nodes=3, config=CONFIG)
+        assert mpc.trans.has_ext and not mpc.trans.has_arm
+        carry, stats = jax.jit(
+            lambda mpc=mpc: mpc.step(
+                mpc.init_carry(), jnp.float32(0.0),
+                jnp.array([0.1, 0, 0, 0, 0, 0]),
+            )
+        )()
+        assert np.isfinite(float(stats["max_violation"]))
+
+
+def test_rnea_no_acc_variant():
+    """include_acc=False: accelerations by finite difference
+    (ocp_whole_body_rnea.py get_a else-branch)."""
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    mpc = MPC(robot, dynamics="whole_body_rnea", nodes=3, config=CONFIG,
+              include_acc=False)
+    assert mpc.form.na_opt == 0
+    carry, stats = jax.jit(
+        lambda: mpc.step(mpc.init_carry(), jnp.float32(0.0),
+                         jnp.array([0.1, 0, 0, 0, 0, 0]))
+    )()
+    assert np.isfinite(float(stats["max_violation"]))

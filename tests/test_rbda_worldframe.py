@@ -1,5 +1,5 @@
-"""Cross-validation: the world-frame masked-einsum kernels must match the
-classic local-frame recursions exactly."""
+"""Cross-validation: the world-frame masked-einsum kernels (alternates)
+must match the default recursion kernels exactly."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -30,31 +30,31 @@ def sample(request):
 
 def test_rnea_matches_recursion(sample):
     model, q, v, a, feet, forces = sample
-    t_new = rbda.rnea(model, q, v, a, feet, forces)
-    t_rec = rbda.rnea_rec(model, q, v, a, feet, forces)
+    t_new = rbda.rnea_wf(model, q, v, a, feet, forces)
+    t_rec = rbda.rnea(model, q, v, a, feet, forces)
     scale = float(jnp.max(jnp.abs(t_rec))) + 1.0
     np.testing.assert_allclose(t_new, t_rec, atol=5e-4 * scale)
 
 
 def test_rnea_no_forces_matches(sample):
     model, q, v, a, *_ = sample
-    t_new = rbda.rnea(model, q, v, a)
-    t_rec = rbda.rnea_rec(model, q, v, a)
+    t_new = rbda.rnea_wf(model, q, v, a)
+    t_rec = rbda.rnea(model, q, v, a)
     scale = float(jnp.max(jnp.abs(t_rec))) + 1.0
     np.testing.assert_allclose(t_new, t_rec, atol=5e-4 * scale)
 
 
 def test_crba_matches_recursion(sample):
     model, q, *_ = sample
-    M_new = rbda.crba(model, q)
-    M_rec = rbda.crba_rec(model, q)
+    M_new = rbda.crba_wf(model, q)
+    M_rec = rbda.crba(model, q)
     scale = float(jnp.max(jnp.abs(M_rec)))
     np.testing.assert_allclose(M_new, M_rec, atol=5e-4 * scale)
 
 
 def test_ccrba_matches_recursion(sample):
     model, q, *_ = sample
-    A_new = rbda.ccrba(model, q)
-    A_rec = rbda.ccrba_rec(model, q)
+    A_new = rbda.ccrba_wf(model, q)
+    A_rec = rbda.ccrba(model, q)
     scale = float(jnp.max(jnp.abs(A_rec)))
     np.testing.assert_allclose(A_new, A_rec, atol=5e-4 * scale)

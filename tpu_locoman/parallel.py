@@ -40,16 +40,21 @@ def shard_batch(tree, mesh, axes=("dp",)):
     return jax.tree.map(put, tree)
 
 
-def batched_step(mpc, donate=True):
+def batched_step(mpc, donate=True, per_scenario_time=False):
     """Jitted, vmapped MPC tick: (carries, t, targets) -> (carries, stats).
 
     Shard the carry/target batch with shard_batch() first; XLA keeps every
     scenario chip-local (no per-solve communication, SURVEY.md §2.3).
+
+    per_scenario_time=True gives each scenario its own clock (t is a
+    (batch,) array) so a single batch sweeps gait phases — the
+    "robots x gaits x target-perturbations" axis of BASELINE.json config #5.
     """
     def one(carry, t, base_vel_des):
         return mpc.step(carry, t, base_vel_des)
 
-    vstep = jax.vmap(one, in_axes=(0, None, 0))
+    t_axis = 0 if per_scenario_time else None
+    vstep = jax.vmap(one, in_axes=(0, t_axis, 0))
     return jax.jit(vstep, donate_argnums=(0,) if donate else ())
 
 

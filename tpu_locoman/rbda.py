@@ -359,12 +359,8 @@ def external_joint_forces(model, ee_frames, forces_world, R_w):
 # RNEA — inverse dynamics with external forces.
 # ---------------------------------------------------------------------------
 
-def rnea(model, q, v, a, ee_frames=(), forces_world=None):
+def rnea_wf(model, q, v, a, ee_frames=(), forces_world=None):
     """Whole-body torques tau(q, v, a, f_ext) = [tau_base (6), tau_joints].
-
-    Mirrors cpin.rnea as driven by Dynamics.rnea_dynamics (reference
-    dynamics.py:33-65): forces are world-frame linear forces applied at the
-    given frames.
 
     World-frame masked-sum formulation (parallel over links): the classic
     two-pass recursion is replaced by dense einsums against the constant
@@ -399,9 +395,14 @@ def rnea(model, q, v, a, ee_frames=(), forces_world=None):
     return jnp.sum(Sw * Fsum, axis=1)
 
 
-def rnea_rec(model, q, v, a, ee_frames=(), forces_world=None):
-    """Classic local-frame two-pass RNEA recursion (reference
-    implementation used for cross-validation in tests)."""
+def rnea(model, q, v, a, ee_frames=(), forces_world=None):
+    """Whole-body torques tau(q, v, a, f_ext) = [tau_base (6), tau_joints].
+
+    Mirrors cpin.rnea as driven by Dynamics.rnea_dynamics (reference
+    dynamics.py:33-65): forces are world-frame linear forces applied at the
+    given frames.  Classic local-frame two-pass recursion: under jacfwd on
+    TPU the unrolled small-op chains fuse into VPU pipelines and outperform
+    the masked-einsum variant (rnea_wf) by ~2x."""
     n = model.n_links
     from .lie import quat_to_matrix
 
@@ -492,11 +493,9 @@ def _composite_inertias(model, q):
     return Ic, X
 
 
-def crba(model, q):
-    """Mass matrix M(q) (pin.crba, reference dynamics_whole_body_acc.py:55).
-
-    World-frame formulation: M = sum_i J_i^T I_i^w J_i with the masked
-    world Jacobians — one batched einsum over links."""
+def crba_wf(model, q):
+    """Mass matrix via the world-frame masked formulation:
+    M = sum_i J_i^T I_i^w J_i — one batched einsum over links."""
     R_w, p_w = fk(model, q)
     anc = jnp.asarray(_ancestry_mask(model))
     Sw = _world_motion_axes(model, R_w, p_w)
@@ -506,8 +505,9 @@ def crba(model, q):
     return jnp.einsum("ivk,ikw->vw", J, IJ)
 
 
-def crba_rec(model, q):
-    """Classic composite-rigid-body recursion (cross-validation)."""
+def crba(model, q):
+    """Mass matrix M(q) (pin.crba, reference dynamics_whole_body_acc.py:55).
+    Classic composite-rigid-body recursion (fastest under jacfwd)."""
     n = model.n_links
     nv = model.nv
     Ic, X = _composite_inertias(model, q)
@@ -576,13 +576,9 @@ def center_of_mass(model, q):
     return _com_from(model, R_w, p_w)
 
 
-def ccrba(model, q):
-    """Centroidal momentum matrix A(q) with h = A @ v, [lin, ang] about the
-    CoM in world-aligned axes (pin.computeCentroidalMap, reference
-    dynamics_centroidal_vel.py:80).
-
-    World-frame formulation: A_O = sum_i I_i^w J_i at the world origin,
-    then the momentum is translated to the CoM."""
+def ccrba_wf(model, q):
+    """Centroidal momentum matrix via the world-frame masked formulation:
+    A_O = sum_i I_i^w J_i at the world origin, translated to the CoM."""
     R_w, p_w = fk(model, q)
     anc = jnp.asarray(_ancestry_mask(model))
     Sw = _world_motion_axes(model, R_w, p_w)
@@ -594,8 +590,10 @@ def ccrba(model, q):
     return jnp.concatenate([A_O[:3], A_ang], axis=0)
 
 
-def ccrba_rec(model, q):
-    """Classic composite-inertia ccrba recursion (cross-validation)."""
+def ccrba(model, q):
+    """Centroidal momentum matrix A(q) with h = A @ v, [lin, ang] about the
+    CoM in world-aligned axes (pin.computeCentroidalMap, reference
+    dynamics_centroidal_vel.py:80). Composite-inertia recursion."""
     n = model.n_links
     Ic, X = _composite_inertias(model, q)
     R_w, p_w = fk(model, q)
