@@ -24,7 +24,7 @@ class SQPConfig(NamedTuple):
     # Line-search parameters (ocp.py:431-438).
     armijo_factor: float = 1e-4
     a_decay: float = 0.5
-    n_trials: int = 14  # a = 1, 0.5, ..., 0.5^13 > a_min = 1e-4
+    n_trials: int = 8  # a = 1, 0.5, ..., 0.5^7 (alpha=1 in steady MPC)
     g_max: float = 1e-3
     g_min: float = 1e-5
     gamma: float = 1e-5
@@ -67,17 +67,18 @@ class SQPSolver:
             Zc = Z + alpha * d
             f = t.objective_value(Zc, obj)
             g = t.evaluate(Zc, stage_params, shared)
-            return f, self._violation(g, l_b, u_b)
+            viol = jnp.maximum(0.0, l_b - g) + jnp.maximum(0.0, g - u_b)
+            return f, jnp.sqrt(jnp.sum(viol * viol)), jnp.max(viol)
 
-        new_fs, new_gs = jax.vmap(merit)(alphas)
+        new_fs, new_gs, new_maxv = jax.vmap(merit)(alphas)
 
         f0 = t.objective_value(Z, obj)
         g0 = self._violation(g_at_Z, l_b, u_b)  # reuse linearize's residual
         armijo_metric = jnp.sum(t.objective_gradient(Z, obj) * d)
 
         def step(carry, inp):
-            accepted, alpha_acc = carry
-            alpha_k, new_f, new_g = inp
+            accepted, alpha_acc, maxv_acc = carry
+            alpha_k, new_f, new_g, new_mv = inp
             # Acceptance rules (ocp.py:448-467), evaluated against the
             # incumbent iterate (f0, g0). The reference compares against the
             # previous *trial* instead, which lets a diverging step get
@@ -100,15 +101,18 @@ class SQPSolver:
             )
             accept_now = (~accepted) & (c1 | c2 | c3)
             alpha_acc = jnp.where(accept_now, alpha_k, alpha_acc)
-            return (accepted | accept_now, alpha_acc), None
+            maxv_acc = jnp.where(accept_now, new_mv, maxv_acc)
+            return (accepted | accept_now, alpha_acc, maxv_acc), None
 
-        (accepted, alpha_acc), _ = lax.scan(
+        # max violation at the incumbent (for the rejected-everything case)
+        viol0 = jnp.maximum(0.0, l_b - g_at_Z) + jnp.maximum(0.0, g_at_Z - u_b)
+        (accepted, alpha_acc, maxv_acc), _ = lax.scan(
             step,
-            (jnp.array(False), jnp.zeros((), Z.dtype)),
-            (alphas, new_fs, new_gs),
+            (jnp.array(False), jnp.zeros((), Z.dtype), jnp.max(viol0)),
+            (alphas, new_fs, new_gs, new_maxv),
         )
         alpha = jnp.where(accepted, alpha_acc, 0.0)
-        return Z + alpha * d, alpha
+        return Z + alpha * d, alpha, maxv_acc
 
     def solve(self, state: SolverState, stage_params, shared):
         """One MPC solve. Returns (new_state, stats dict).
@@ -146,17 +150,20 @@ class SQPSolver:
             z_admm = jnp.where(bad, jnp.zeros_like(z_admm), z_admm)
             y_admm = jnp.where(bad, jnp.zeros_like(y_admm), y_admm)
             if cfg.line_search:
-                Z, alpha = self._line_search(
+                Z, alpha, max_viol = self._line_search(
                     Z, d, obj, stage_params, shared, l_b, u_b, g
                 )
             else:
                 Z = Z + d
                 alpha = jnp.ones((), Z.dtype)
+                g_final = t.evaluate(Z, stage_params, shared)
+                viol = jnp.maximum(0.0, l_b - g_final) + jnp.maximum(
+                    0.0, g_final - u_b
+                )
+                max_viol = jnp.max(viol)
 
-        g_final = t.evaluate(Z, stage_params, shared)
-        viol = jnp.maximum(0.0, l_b - g_final) + jnp.maximum(0.0, g_final - u_b)
         stats = {
-            "max_violation": jnp.max(viol),
+            "max_violation": max_viol,
             "objective": t.objective_value(Z, obj),
             "alpha": alpha,
         }
