@@ -176,3 +176,35 @@ def test_dims_and_weights_all_formulations(b2g, go2):
             np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
             d = form.difference(x, x2)
             np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_analytic_C_block_matches_autodiff(b2g, go2):
+    """The constant dx_next pattern must equal the autodiff C block."""
+    import jax
+    from tpu_locoman.ocp import Transcription
+    from tpu_locoman.mpc import MPC
+    from tpu_locoman.solver import SQPConfig, ADMMConfig
+
+    for robot, name in [(go2, "centroidal_vel"), (go2, "centroidal_acc"),
+                        (b2g, "whole_body_rnea"), (go2, "whole_body_aba")]:
+        mpc = MPC(robot, dynamics=name, nodes=3,
+                  config=SQPConfig(admm=ADMMConfig(iters=2)))
+        trans = mpc.trans
+        carry = mpc.init_carry()
+        shared = mpc.make_shared(carry.x_init, jnp.zeros(6),
+                                 tau_prev=carry.tau_prev)
+        sp = mpc.make_stage_params(jnp.float32(0.05))
+        rng = np.random.default_rng(3)
+        Z = jnp.asarray(rng.normal(size=(4, trans.s)) * 0.01,
+                        dtype=jnp.float32)
+        _, _, _, C = trans.linearize(Z, sp, shared)
+
+        # autodiff ground truth
+        def one(dx, u_, dxn, spn):
+            fn = lambda c: trans.stage_residual(dx, u_, c, spn, shared)
+            return jax.jacfwd(fn)(dxn)
+
+        C_ad = jax.vmap(one)(Z[:-1, :trans.ndx], Z[:-1, trans.ndx:],
+                             Z[1:, :trans.ndx], sp)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_ad),
+                                   atol=1e-5, err_msg=name)

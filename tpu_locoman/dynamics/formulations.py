@@ -93,6 +93,26 @@ class Formulation:
     def difference(self, x0, x1):
         raise NotImplementedError
 
+    # -- structure ------------------------------------------------------
+    def dx_next_pattern(self):
+        """Constant Jacobian of the dynamics residual w.r.t. dx_next, or
+        None if it is state-dependent.
+
+        For every formulation except whole_body_rnea(include_acc=False),
+        dx_next enters the residual only through the Euler-propagation rows
+        with identity coefficient — so the stage Jacobian's C block never
+        needs autodiff (saves ndx of the jacfwd tangents)."""
+        n_prop = self.n_prop_rows
+        pat = np.zeros((self.n_dyn, self.ndx), dtype=np.float32)
+        pat[:n_prop, :n_prop] = np.eye(n_prop, dtype=np.float32)
+        return pat
+
+    @property
+    def n_prop_rows(self):
+        """Leading propagation rows of the dynamics residual (those with
+        +dx_next identity coefficient)."""
+        raise NotImplementedError
+
     # -- shared force kernels ------------------------------------------
     def com_dynamics(self, q, forces):
         """hdot (scaled by mass) from contact forces — Newton-Euler about
@@ -163,6 +183,10 @@ class CentroidalVel(Formulation):
     @property
     def n_dyn(self):
         return 6 + self.nv + (6 if self.include_base else 0)
+
+    @property
+    def n_prop_rows(self):
+        return 6 + self.nv
 
     def x_nom(self):
         return np.concatenate([np.zeros(6), self.robot.q0])
@@ -281,6 +305,10 @@ class CentroidalAcc(_AccStateFormulation):
     def n_dyn(self):
         return 2 * self.nv + (6 if self.include_base else 0)
 
+    @property
+    def n_prop_rows(self):
+        return 2 * self.nv
+
     def base_acc_dynamics(self, q, v, a_j, forces):
         """a_b = A_b^{-1} (dh - Adot v - A_j a_j)
         (dynamics_centroidal_acc.py:43-82)."""
@@ -344,6 +372,10 @@ class WholeBodyAcc(_AccStateFormulation):
     @property
     def n_dyn(self):
         return 2 * self.nv + (6 if self.include_base else 0)
+
+    @property
+    def n_prop_rows(self):
+        return 2 * self.nv
 
     def base_acc_dynamics(self, q, v, a_j, forces):
         """a_b = M_bb^{-1}(-nle_b - M_bj a_j + J_c^T f)
@@ -414,6 +446,17 @@ class WholeBodyRNEA(_AccStateFormulation):
     def n_dyn(self):
         return self.nv + (self.nv if self.include_acc else 0) + 6 + self.nj
 
+    @property
+    def n_prop_rows(self):
+        return self.nv + (self.nv if self.include_acc else 0)
+
+    def dx_next_pattern(self):
+        if not self.include_acc:
+            # finite-difference accelerations make the RNEA rows depend on
+            # dx_next — fall back to autodiff for the C block
+            return None
+        return super().dx_next_pattern()
+
     def decode(self, x_init, dx, u):
         x = self.integrate(x_init, dx)
         q, v = x[: self.nq], x[self.nq:]
@@ -475,6 +518,10 @@ class WholeBodyABA(_AccStateFormulation):
 
     @property
     def n_dyn(self):
+        return 2 * self.nv
+
+    @property
+    def n_prop_rows(self):
         return 2 * self.nv
 
     def aba_dyn(self, q, v, tau_j, forces):

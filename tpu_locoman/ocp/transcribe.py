@@ -177,9 +177,30 @@ class Transcription:
 
     def linearize(self, Z, stage_params, shared):
         """g and its stage-block Jacobians via vmapped jacfwd — the analog
-        of CasADi's jacobian(g, x) (ocp.py:283)."""
+        of CasADi's jacobian(g, x) (ocp.py:283).
+
+        The dx_next block (C) is a constant identity pattern for all default
+        formulations (Euler-propagation rows only), so those ndx tangents
+        skip autodiff entirely (Formulation.dx_next_pattern)."""
         DX = Z[:, : self.ndx]
         U = Z[:-1, self.ndx:]
+        C_pat = self.form.dx_next_pattern()
+
+        if C_pat is not None:
+            C_full = np.zeros((self.m, self.ndx), dtype=np.float32)
+            C_full[: self.form.n_dyn] = C_pat
+
+            def one(dx, u_, dxn, sp):
+                fn = lambda a, b: self.stage_residual(a, b, dxn, sp, shared)
+                g = fn(dx, u_)
+                G, B = jax.jacfwd(fn, argnums=(0, 1))(dx, u_)
+                return g, G, B
+
+            g, G, B = jax.vmap(one)(DX[:-1], U, DX[1:], stage_params)
+            C = jnp.broadcast_to(
+                jnp.asarray(C_full), (self.nodes, self.m, self.ndx)
+            )
+            return g, G, B, C
 
         def one(dx, u_, dxn, sp):
             fn = lambda a, b, c: self.stage_residual(a, b, c, sp, shared)
