@@ -36,7 +36,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     nodes = int(os.environ.get("BENCH_NODES", "14"))
-    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "25"))
+    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "15"))
     sqp_iters = int(os.environ.get("BENCH_SQP_ITERS", "1"))
     timed_ticks = int(os.environ.get("BENCH_TICKS", "10"))
     qp_precision = os.environ.get("BENCH_QP_PRECISION", "highest")
