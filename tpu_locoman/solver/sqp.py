@@ -162,9 +162,15 @@ class SQPSolver:
                 )
                 max_viol = jnp.max(viol)
 
+        # Solution status (the reference leaves this as a TODO, ocp.py:369):
+        # 0 = ok, 1 = line search rejected every step, 2 = QP solve failed.
+        status = jnp.where(
+            bad, 2, jnp.where(alpha <= 0.0, 1, 0)
+        ).astype(jnp.int32)
         stats = {
             "max_violation": max_viol,
             "objective": t.objective_value(Z, obj),
             "alpha": alpha,
+            "status": status,
         }
         return SolverState(Z=Z, z_admm=z_admm, y_admm=y_admm), stats
