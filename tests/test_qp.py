@@ -116,3 +116,42 @@ def test_admm_box_qp_kkt_conditions():
     # stationarity: P x + q + A^T y ~ 0
     r = np.diag(np.asarray(P).ravel()) @ xf + np.asarray(q).ravel() + Ad.T @ np.asarray(y).ravel()
     assert np.abs(r).max() < 5e-2 * (np.abs(q).max() + 1.0)
+
+
+def test_cyclic_reduction_matches_dense():
+    from tpu_locoman.solver.qp import factorize_cyclic, solve_cyclic
+
+    rng = np.random.default_rng(5)
+    for N in [4, 5, 14]:  # block counts N+1 = 5, 6, 15 (non powers of two)
+        G, B, C, P = random_blocks(rng, N=N, m=6, ndx=4, nu=3)
+        s = P.shape[1]
+        rho_vec = jnp.full((N, 6), 0.1, dtype=jnp.float32)
+        H, U, A, D = assemble_blocks(G, B, C, P, rho_vec, 1e-6)
+        fac = factorize_cyclic(H, U)
+        b = jnp.asarray(rng.normal(size=(N + 1, s)), dtype=jnp.float32)
+        x = solve_cyclic(fac, b)
+
+        Ad = dense_A(np.asarray(G), np.asarray(B), np.asarray(C))
+        Md = np.diag(np.asarray(P, dtype=np.float64).ravel() + 1e-6) + (
+            Ad.T * 0.1
+        ) @ Ad
+        x_dense = np.linalg.solve(Md, np.asarray(b).ravel())
+        scale = np.abs(x_dense).max() + 1.0
+        np.testing.assert_allclose(
+            np.asarray(x).ravel(), x_dense, atol=5e-3 * scale
+        )
+
+
+def test_admm_cyclic_matches_sequential():
+    rng = np.random.default_rng(6)
+    G, B, C, P = random_blocks(rng, N=6, m=5, ndx=4, nu=2)
+    N = 6
+    q = jnp.asarray(rng.normal(size=(N + 1, P.shape[1])), dtype=jnp.float32)
+    l = jnp.asarray(rng.normal(size=(N, 5)) - 2.0, dtype=jnp.float32)
+    u = jnp.asarray(np.asarray(l) + 1.0)
+    xs, _, _ = admm_solve(G, B, C, P, q, l, u,
+                          ADMMConfig(iters=300, factorizer="sequential"))
+    xc, _, _ = admm_solve(G, B, C, P, q, l, u,
+                          ADMMConfig(iters=300, factorizer="cyclic"))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xc),
+                               atol=2e-2 * (np.abs(np.asarray(xs)).max() + 1))

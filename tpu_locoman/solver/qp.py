@@ -33,9 +33,12 @@ class ADMMConfig(NamedTuple):
     scaling_iters: int = 3  # Ruiz equilibration sweeps (OSQP default 10)
     eq_boost: float = 1e3  # rho multiplier on equality rows (OSQP default)
     # Matmul precision for the QP linear algebra. "highest" = true f32
-    # (6-pass bf16 on TPU); "bfloat16_3x" halves the pass count at ~1e-6
-    # relative error, usually indistinguishable at ADMM tolerances.
+    # (6-pass bf16 on TPU); "BF16_BF16_F32_X3" halves the pass count at
+    # ~1e-6 relative error, usually indistinguishable at ADMM tolerances.
     precision: str = "highest"
+    # "sequential" blocked Cholesky (depth N+1) or "cyclic" block cyclic
+    # reduction (depth log2(N+1), parallel-Riccati style).
+    factorizer: str = "sequential"
 
 
 class BlockTridiagFactor(NamedTuple):
@@ -144,6 +147,111 @@ def factorize(H, U):
         step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad)
     )
     return BlockTridiagFactor(L=L, F=F[:-1], Linv=Linv)
+
+
+# ---------------------------------------------------------------------------
+# Parallel factorization: block cyclic reduction (the parallel-Riccati /
+# parallel-KKT idea of PAPERS.md applied to the SPD tridiagonal M).
+# Sequential depth drops from N+1 to log2(N+1); every level's block ops are
+# batched GEMMs over the remaining blocks (and, under vmap, scenarios).
+# ---------------------------------------------------------------------------
+
+class CyclicFactor(NamedTuple):
+    """Per-level data for block-cyclic-reduction solves.
+
+    levels: tuple of (Ho_inv, U_even, U_odd) — the inverses of the odd
+    diagonal blocks and the couplings needed for rhs reduction and
+    back-substitution; top_inv: inverse of the final single block.
+    """
+
+    levels: tuple
+    top_inv: jnp.ndarray
+    n_blocks: int  # original (unpadded) block count
+
+
+def _spd_inverse(H):
+    """Batched SPD inverse via Cholesky + GEMM triangular inversion."""
+    L = jnp.linalg.cholesky(H + 1e-6 * jnp.eye(H.shape[-1], dtype=H.dtype))
+    Linv = jax.vmap(tri_inverse_lower)(L) if H.ndim == 3 else tri_inverse_lower(L)
+    return jnp.einsum("...ji,...jk->...ik", Linv, Linv)
+
+
+def factorize_cyclic(H, U):
+    """Block cyclic reduction of the SPD block-tridiagonal (H, U).
+
+    H: (K, s, s) diagonal blocks; U: (K-1, s, s) couplings (block i to i+1).
+    Pads K to a power of two with identity blocks.
+    """
+    K, s, _ = H.shape
+    Kp = 1
+    while Kp < K:
+        Kp *= 2
+    if Kp != K:
+        pad = Kp - K
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=H.dtype), (pad, s, s))
+        H = jnp.concatenate([H, eye], axis=0)
+        U = jnp.concatenate(
+            [U, jnp.zeros((pad, s, s), dtype=H.dtype)], axis=0
+        )  # U length Kp-1 after this (K-1 + pad)
+    levels = []
+    while H.shape[0] > 1:
+        L2 = H.shape[0] // 2
+        He, Ho = H[::2], H[1::2]
+        U_even = U[::2]  # (L2, s, s): couples even 2t -> odd 2t+1
+        U_odd = U[1::2]  # (L2-1, s, s): couples odd 2t+1 -> even 2t+2
+        Ho_inv = _spd_inverse(Ho)
+        levels.append((Ho_inv, U_even, U_odd))
+
+        # Schur updates on the even blocks.
+        right = jnp.einsum("tij,tjk,tlk->til", U_even, Ho_inv, U_even)
+        H_new = He - right
+        left = jnp.einsum("tji,tjk,tkl->til", U_odd, Ho_inv[:-1], U_odd)
+        H_new = H_new.at[1:].add(-left)
+        U_new = -jnp.einsum(
+            "tij,tjk,tkl->til", U_even[:-1], Ho_inv[:-1], U_odd
+        )
+        H, U = H_new, U_new
+    top_inv = _spd_inverse(H[0])
+    return CyclicFactor(levels=tuple(levels), top_inv=top_inv, n_blocks=K)
+
+
+def solve_cyclic(fac: CyclicFactor, b):
+    """Solve M x = b with the cyclic-reduction factor; b is (K, s)."""
+    K, s = b.shape
+    Kp = 1
+    while Kp < K:
+        Kp *= 2
+    if Kp != K:
+        b = jnp.concatenate([b, jnp.zeros((Kp - K, s), dtype=b.dtype)], axis=0)
+
+    # Forward: reduce rhs level by level, remembering the odd rhs.
+    saved = []
+    for Ho_inv, U_even, U_odd in fac.levels:
+        be, bo = b[::2], b[1::2]
+        hbo = jnp.einsum("tij,tj->ti", Ho_inv, bo)
+        be_new = be - jnp.einsum("tij,tj->ti", U_even, hbo)
+        be_new = be_new.at[1:].add(
+            -jnp.einsum("tji,tj->ti", U_odd, hbo[:-1])
+        )
+        saved.append(bo)
+        b = be_new
+
+    x = (fac.top_inv @ b[0])[None]
+
+    # Backward: recover odd blocks at each level.
+    for (Ho_inv, U_even, U_odd), bo in zip(
+        reversed(fac.levels), reversed(saved)
+    ):
+        rhs = bo - jnp.einsum("tji,tj->ti", U_even, x)
+        rhs = rhs.at[:-1].add(-jnp.einsum("tij,tj->ti", U_odd, x[1:]))
+        xo = jnp.einsum("tij,tj->ti", Ho_inv, rhs)
+        L2 = x.shape[0]
+        merged = jnp.zeros((2 * L2, s), dtype=x.dtype)
+        merged = merged.at[::2].set(x)
+        merged = merged.at[1::2].set(xo)
+        x = merged
+
+    return x[:K]
 
 
 def solve_factorized(fac: BlockTridiagFactor, b):
@@ -273,7 +381,12 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
     u = u * E
 
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma)
-    fac = factorize(H, U)
+    if cfg.factorizer == "cyclic":
+        fac = factorize_cyclic(H, U)
+        solve = solve_cyclic
+    else:
+        fac = factorize(H, U)
+        solve = solve_factorized
 
     x = jnp.zeros((N + 1, s), dtype=q.dtype) if x0 is None else x0 / Dc
     z = jnp.zeros((N, m), dtype=q.dtype) if z0 is None else z0 * E
@@ -282,7 +395,7 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
     def body(_, carry):
         x, z, y = carry
         rhs = cfg.sigma * x - q + _At_matvec(A, D, rho_vec * z - y)
-        x_t = solve_factorized(fac, rhs)
+        x_t = solve(fac, rhs)
         z_t = _A_matvec(A, D, x_t)
         x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
         z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
