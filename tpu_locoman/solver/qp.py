@@ -30,7 +30,11 @@ class ADMMConfig(NamedTuple):
     rho: float = 2e-2  # ocp.py:270
     sigma: float = 1e-6  # OSQP default
     alpha: float = 1.4  # ocp.py:269
-    scaling_iters: int = 3  # Ruiz equilibration sweeps (OSQP default 10)
+    # Ruiz equilibration sweeps. Default 0: with a warm-started MPC the
+    # problem is already well-posed and per-tick rescaling perturbs the
+    # carried ADMM duals — violations are 3-10x SMALLER without scaling.
+    # Enable (e.g. 3) for cold starts or badly scaled user problems.
+    scaling_iters: int = 0
     eq_boost: float = 1e3  # rho multiplier on equality rows (OSQP default)
     # Matmul precision for the QP linear algebra. "highest" = true f32
     # (6-pass bf16 on TPU); "BF16_BF16_F32_X3" halves the pass count at
