@@ -40,6 +40,7 @@ def main():
     sqp_iters = int(os.environ.get("BENCH_SQP_ITERS", "1"))
     timed_ticks = int(os.environ.get("BENCH_TICKS", "10"))
     qp_precision = os.environ.get("BENCH_QP_PRECISION", "highest")
+    factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -49,7 +50,8 @@ def main():
         nodes=nodes,
         config=SQPConfig(
             sqp_iters=sqp_iters,
-            admm=ADMMConfig(iters=admm_iters, precision=qp_precision),
+            admm=ADMMConfig(iters=admm_iters, precision=qp_precision,
+                            factorizer=factorizer),
         ),
     )
 
@@ -92,6 +94,7 @@ def main():
             "sqp_iters": sqp_iters,
             "admm_iters": admm_iters,
             "qp_precision": qp_precision,
+            "factorizer": factorizer,
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),
             "compile_s": round(compile_s, 1),
