@@ -81,3 +81,31 @@ def test_rnea_no_acc_variant():
                          jnp.array([0.1, 0, 0, 0, 0, 0]))
     )()
     assert np.isfinite(float(stats["max_violation"]))
+
+
+def test_mixed_gait_batch_via_stage_params():
+    """Different gait schedules per scenario through the stage_params
+    override (full robots x gaits sweep support)."""
+    from tpu_locoman.gait import GaitSequence
+
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    mpc = MPC(robot, dynamics="centroidal_acc", nodes=3, config=CONFIG)
+
+    trot_sp = mpc.make_stage_params(jnp.float32(0.0))
+    walk = GaitSequence("walk", 0.6)
+    c, s = walk.get_gait_schedule(jnp.float32(0.0), mpc.dts)
+    walk_sp = trot_sp._replace(contact=c.T, swing=s.T)
+    sps = jax.tree.map(lambda a, b: jnp.stack([a, b]), trot_sp, walk_sp)
+
+    carries = __import__("tpu_locoman.parallel", fromlist=["batched_init"]).batched_init(mpc, 2)
+    step = jax.jit(jax.vmap(
+        lambda carry, sp: mpc.step(
+            carry, jnp.float32(0.0), jnp.array([0.1, 0, 0, 0, 0, 0]),
+            stage_params=sp),
+        in_axes=(0, 0),
+    ))
+    new_carries, stats = step(carries, sps)
+    x = np.asarray(new_carries.x_init)
+    assert np.all(np.isfinite(x))
+    assert not np.allclose(x[0], x[1], atol=1e-6)  # different gaits differ

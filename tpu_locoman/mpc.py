@@ -162,13 +162,19 @@ class MPC:
         )
 
     def step(self, carry: MPCCarry, t_current, base_vel_des,
-             ext_force_des=None, arm_vel_des=None):
-        """One MPC tick (run_mpc.py:69-113)."""
+             ext_force_des=None, arm_vel_des=None, stage_params=None):
+        """One MPC tick (run_mpc.py:69-113).
+
+        stage_params overrides the internally generated schedules — e.g. to
+        mix gait types across a vmapped scenario batch (each scenario feeds
+        its own contact/swing schedules)."""
         shared = self.make_shared(
             carry.x_init, base_vel_des, ext_force_des, arm_vel_des,
             tau_prev=carry.tau_prev,
         )
-        sp = self.make_stage_params(t_current)
+        sp = stage_params if stage_params is not None else (
+            self.make_stage_params(t_current)
+        )
         warm = carry.solver_state._replace(
             Z=self.warm_start_Z(carry.solver_state.Z, sp, shared)
         )
