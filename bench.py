@@ -36,11 +36,12 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     nodes = int(os.environ.get("BENCH_NODES", "14"))
-    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "15"))
+    admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "10"))
     sqp_iters = int(os.environ.get("BENCH_SQP_ITERS", "1"))
     timed_ticks = int(os.environ.get("BENCH_TICKS", "10"))
     qp_precision = os.environ.get("BENCH_QP_PRECISION", "highest")
     factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
+    matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -51,7 +52,8 @@ def main():
         config=SQPConfig(
             sqp_iters=sqp_iters,
             admm=ADMMConfig(iters=admm_iters, precision=qp_precision,
-                            factorizer=factorizer),
+                            factorizer=factorizer,
+                            matvec_dtype=matvec_dtype),
         ),
     )
 
@@ -95,6 +97,7 @@ def main():
             "admm_iters": admm_iters,
             "qp_precision": qp_precision,
             "factorizer": factorizer,
+            "matvec_dtype": matvec_dtype,
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),
             "compile_s": round(compile_s, 1),

@@ -43,6 +43,9 @@ class ADMMConfig(NamedTuple):
     # "sequential" blocked Cholesky (depth N+1) or "cyclic" block cyclic
     # reduction (depth log2(N+1), parallel-Riccati style).
     factorizer: str = "sequential"
+    # Storage dtype for the A/D blocks in the per-iteration matvecs
+    # ("bfloat16" halves their HBM traffic; accumulation stays f32).
+    matvec_dtype: str = "float32"
 
 
 class BlockTridiagFactor(NamedTuple):
@@ -396,11 +399,17 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
     z = jnp.zeros((N, m), dtype=q.dtype) if z0 is None else z0 * E
     y = jnp.zeros((N, m), dtype=q.dtype) if y0 is None else y0 / E
 
+    if cfg.matvec_dtype == "bfloat16":
+        Amv = A.astype(jnp.bfloat16)
+        Dmv = D.astype(jnp.bfloat16)
+    else:
+        Amv, Dmv = A, D
+
     def body(_, carry):
         x, z, y = carry
-        rhs = cfg.sigma * x - q + _At_matvec(A, D, rho_vec * z - y)
+        rhs = cfg.sigma * x - q + _At_matvec(Amv, Dmv, rho_vec * z - y)
         x_t = solve(fac, rhs)
-        z_t = _A_matvec(A, D, x_t)
+        z_t = _A_matvec(Amv, Dmv, x_t)
         x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
         z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
         z_new = jnp.clip(z_relax + y / rho_vec, l, u)
