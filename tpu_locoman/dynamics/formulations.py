@@ -21,7 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import rbda
-from ..lie import integrate_q, difference_q
+from ..rbda import model_integrate, model_difference
 
 
 class StageParams(NamedTuple):
@@ -192,10 +192,14 @@ class CentroidalVel(Formulation):
         return np.concatenate([np.zeros(6), self.robot.q0])
 
     def integrate(self, x, dx):
-        return jnp.concatenate([x[:6] + dx[:6], integrate_q(x[6:], dx[6:])])
+        return jnp.concatenate(
+            [x[:6] + dx[:6], model_integrate(self.model, x[6:], dx[6:])]
+        )
 
     def difference(self, x0, x1):
-        return jnp.concatenate([x1[:6] - x0[:6], difference_q(x0[6:], x1[6:])])
+        return jnp.concatenate(
+            [x1[:6] - x0[:6], model_difference(self.model, x0[6:], x1[6:])]
+        )
 
     def base_vel_dynamics(self, h, q, v_j):
         """v_b = A_b^{-1} (h m - A_j v_j) (dynamics_centroidal_vel.py:73-89)."""
@@ -264,12 +268,12 @@ class _AccStateFormulation(Formulation):
         return np.concatenate([self.robot.q0, np.zeros(self.nv)])
 
     def integrate(self, x, dx):
-        q = integrate_q(x[: self.nq], dx[: self.nv])
+        q = model_integrate(self.model, x[: self.nq], dx[: self.nv])
         v = x[self.nq:] + dx[self.nv:]
         return jnp.concatenate([q, v])
 
     def difference(self, x0, x1):
-        dq = difference_q(x0[: self.nq], x1[: self.nq])
+        dq = model_difference(self.model, x0[: self.nq], x1[: self.nq])
         dv = x1[self.nq:] - x0[self.nq:]
         return jnp.concatenate([dq, dv])
 

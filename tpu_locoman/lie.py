@@ -250,3 +250,42 @@ def difference_q(q0, q1):
     """Tangent dq with integrate_q(q0, dq) == q1."""
     ff = freeflyer_difference(q0[:7], q1[:7])
     return jnp.concatenate([ff, q1[7:] - q0[7:]])
+
+
+# ---------------------------------------------------------------------------
+# Euler-ZYX base parametrization (the reference's use_quaternion=False
+# composite joint: Translation + SphericalZYX, utils/robot.py:15-18).
+# Pinocchio treats both sub-joints as vector spaces: q = [p (world), rz ry rx]
+# and integrate/difference are plain addition.
+# ---------------------------------------------------------------------------
+
+def euler_zyx_to_matrix(e):
+    """R = Rz(e0) @ Ry(e1) @ Rx(e2)."""
+    cz, sz = jnp.cos(e[0]), jnp.sin(e[0])
+    cy, sy = jnp.cos(e[1]), jnp.sin(e[1])
+    cx, sx = jnp.cos(e[2]), jnp.sin(e[2])
+    Rz = jnp.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    Ry = jnp.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cx, -sx], [0.0, sx, cx]])
+    return Rz @ Ry @ Rx
+
+
+def matrix_to_euler_zyx(R):
+    """Inverse of euler_zyx_to_matrix (gimbal-safe for |pitch| < pi/2)."""
+    ry = jnp.arcsin(-jnp.clip(R[2, 0], -1.0, 1.0))
+    rz = jnp.arctan2(R[1, 0], R[0, 0])
+    rx = jnp.arctan2(R[2, 1], R[2, 2])
+    return jnp.stack([rz, ry, rx])
+
+
+def quat_to_euler_zyx(q):
+    return matrix_to_euler_zyx(quat_to_matrix(q))
+
+
+def integrate_q_euler(q, dq):
+    """Vector-space base: plain addition on [p, euler, joints]."""
+    return q + dq
+
+
+def difference_q_euler(q0, q1):
+    return q1 - q0

@@ -101,8 +101,13 @@ class FrameHost:
 class RobotModel:
     """Static robot description.
 
-    Movable joint 0 is the free-flyer; joints 1..n_links-1 are revolute.
+    Movable joint 0 is the base; joints 1..n_links-1 are revolute.
     All arrays are indexed by movable-joint index.
+
+    base_type selects the floating-base parametrization (reference
+    utils/robot.py:13-18): "freeflyer" (quaternion, q_base in R^7, SE(3)
+    integrate) or "euler_zyx" (Translation + SphericalZYX composite,
+    q_base in R^6, vector-space integrate).
     """
 
     name: str
@@ -117,6 +122,7 @@ class RobotModel:
     inertia: np.ndarray  # (n, 3, 3) body rotational inertia about its CoM
     frames: dict = field(default_factory=dict)  # name -> FrameHost
     reference_configurations: dict = field(default_factory=dict)
+    base_type: str = "freeflyer"
 
     @property
     def n_links(self):
@@ -128,8 +134,12 @@ class RobotModel:
         return self.n_links - 1
 
     @property
+    def base_nq(self):
+        return 7 if self.base_type == "freeflyer" else 6
+
+    @property
     def nq(self):
-        return 7 + self.nj
+        return self.base_nq + self.nj
 
     @property
     def nv(self):

@@ -134,7 +134,7 @@ class Transcription:
                 (c * (self.mu**2 * f_e[2] ** 2 - f_e[0] ** 2 - f_e[1] ** 2))[None]
             )
         rows += frics + cones
-        rows.append(q[7:])  # joint positions (ocp.py:183-189)
+        rows.append(q[form.model.base_nq:])  # joint positions (ocp.py:183-189)
         rows.append(v[6:])  # joint velocities
         if self.has_tau:
             rows.append(d["tau_j"])  # torque box (ocp_whole_body_rnea.py:169-171)

@@ -122,6 +122,91 @@ def _joint_rotation(axis, angle):
 
 
 # ---------------------------------------------------------------------------
+# Floating-base parametrization dispatch (reference utils/robot.py:13-18).
+#
+# "freeflyer": q_base = [p, quat], v_base = LOCAL spatial twist (Pinocchio
+# JointModelFreeFlyer).  "euler_zyx": q_base = [p_world, rz ry rx], v_base =
+# [pdot_world, euler rates] with vector-space integrate (the composite
+# Translation + SphericalZYX joint).  The recursions always work with the
+# physical LOCAL twist; chart-dependent quantities (base rows/columns of
+# tau, M, A) are mapped through J = d(v_local)/d(v_chart).
+# ---------------------------------------------------------------------------
+
+def _base_R(model, q):
+    from .lie import quat_to_matrix, euler_zyx_to_matrix
+
+    if model.base_type == "euler_zyx":
+        return euler_zyx_to_matrix(q[3:6])
+    return quat_to_matrix(q[3:7])
+
+
+def _base_vloc(model, q, v):
+    """LOCAL spatial twist of the base from chart velocities."""
+    if model.base_type != "euler_zyx":
+        return v[:6]
+    from .lie import euler_zyx_to_matrix
+
+    e, edot = q[3:6], v[3:6]
+    R, Rdot = jax.jvp(euler_zyx_to_matrix, (e,), (edot,))
+    W = R.T @ Rdot  # skew(omega_local)
+    w_loc = jnp.stack([W[2, 1], W[0, 2], W[1, 0]])
+    v_loc = R.T @ v[:3]
+    return jnp.concatenate([v_loc, w_loc])
+
+
+def _base_aloc(model, q, v, a):
+    """Apparent derivative of the base LOCAL twist (chart accelerations)."""
+    if model.base_type != "euler_zyx":
+        return a[:6]
+    qb, vb = q[:6], v[:6]
+
+    def f(qb_, vb_):
+        qq = jnp.concatenate([qb_, q[6:]])
+        vv = jnp.concatenate([vb_, v[6:]])
+        return _base_vloc(model, qq, vv)
+
+    # vector-space chart: qdot_base = v_base
+    _, aloc = jax.jvp(f, (qb, vb), (vb, a[:6]))
+    return aloc
+
+
+def _base_jac(model, q):
+    """J (6x6): chart base velocity -> LOCAL spatial twist (identity for
+    the free-flyer)."""
+    if model.base_type != "euler_zyx":
+        return jnp.eye(6)
+    return jax.jacfwd(
+        lambda vb: _base_vloc(model, q, jnp.concatenate([vb, jnp.zeros(model.nj)]))
+    )(jnp.zeros(6))
+
+
+def _chart_T(model, q):
+    """Block-diag(J, I_nj) mapping chart velocities to (local-twist, qdot)."""
+    if model.base_type != "euler_zyx":
+        return None
+    J = _base_jac(model, q)
+    T = jnp.eye(model.nv)
+    return T.at[:6, :6].set(J)
+
+
+def model_integrate(model, q, dq):
+    """Configuration integrate in the model's base chart (cpin.integrate)."""
+    from .lie import integrate_q, integrate_q_euler
+
+    if model.base_type == "euler_zyx":
+        return integrate_q_euler(q, dq)
+    return integrate_q(q, dq)
+
+
+def model_difference(model, q0, q1):
+    from .lie import difference_q, difference_q_euler
+
+    if model.base_type == "euler_zyx":
+        return difference_q_euler(q0, q1)
+    return difference_q(q0, q1)
+
+
+# ---------------------------------------------------------------------------
 # Forward kinematics.
 # ---------------------------------------------------------------------------
 
@@ -132,13 +217,12 @@ def fk(model, q):
     pin.forwardKinematics + updateFramePlacements (used throughout
     /root/reference/dynamics/dynamics.py).
     """
-    from .lie import quat_to_matrix
-
-    R_w = [quat_to_matrix(q[3:7])]
+    R_w = [_base_R(model, q)]
     p_w = [q[:3]]
+    bq = model.base_nq
     for i in range(1, model.n_links):
         lam = model.parent[i]
-        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        Rj = _joint_rotation(model.axis[i], q[bq + i - 1])
         R_li = jnp.asarray(model.R_tree[i]) @ Rj
         p_li = jnp.asarray(model.p_tree[i])
         R_w.append(R_w[lam] @ R_li)
@@ -153,10 +237,11 @@ def fk_vel(model, q, v):
     convention.
     """
     R_w, p_w = fk(model, q)
-    v_loc = [v[:6]]
+    v_loc = [_base_vloc(model, q, v)]
+    bq = model.base_nq
     for i in range(1, model.n_links):
         lam = model.parent[i]
-        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        Rj = _joint_rotation(model.axis[i], q[bq + i - 1])
         R_li = jnp.asarray(model.R_tree[i]) @ Rj
         p_li = jnp.asarray(model.p_tree[i])
         vi = motion_act_inv(R_li, p_li, v_loc[lam])
@@ -362,7 +447,7 @@ def external_joint_forces(model, ee_frames, forces_world, R_w):
 def rnea_wf(model, q, v, a, ee_frames=(), forces_world=None):
     """Whole-body torques tau(q, v, a, f_ext) = [tau_base (6), tau_joints].
 
-    World-frame masked-sum formulation (parallel over links): the classic
+    Free-flyer base only. World-frame masked-sum formulation (parallel over links): the classic
     two-pass recursion is replaced by dense einsums against the constant
     ancestry mask — see the module-level machinery above.
     """
@@ -404,17 +489,17 @@ def rnea(model, q, v, a, ee_frames=(), forces_world=None):
     TPU the unrolled small-op chains fuse into VPU pipelines and outperform
     the masked-einsum variant (rnea_wf) by ~2x."""
     n = model.n_links
-    from .lie import quat_to_matrix
+    bq = model.base_nq
 
     # Forward pass.
-    R_w = [quat_to_matrix(q[3:7])]
-    v_loc = [v[:6]]
+    R_w = [_base_R(model, q)]
+    v_loc = [_base_vloc(model, q, v)]
     a_grav = jnp.concatenate([R_w[0].T @ jnp.array([0.0, 0.0, GRAVITY]), jnp.zeros(3)])
-    a_loc = [a_grav + a[:6]]
+    a_loc = [a_grav + _base_aloc(model, q, v, a)]
     X = [None]  # (R_li, p_li) per joint
     for i in range(1, n):
         lam = model.parent[i]
-        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        Rj = _joint_rotation(model.axis[i], q[bq + i - 1])
         R_li = jnp.asarray(model.R_tree[i]) @ Rj
         p_li = jnp.asarray(model.p_tree[i])
         X.append((R_li, p_li))
@@ -456,7 +541,10 @@ def rnea(model, q, v, a, ee_frames=(), forces_world=None):
         R_li, p_li = X[i]
         f[lam] = f[lam] + force_act(R_li, p_li, f[i])
 
-    return jnp.concatenate([f[0]] + [tau_j[i][None] for i in range(1, n)])
+    tau_base = f[0]
+    if model.base_type == "euler_zyx":
+        tau_base = _base_jac(model, q).T @ tau_base
+    return jnp.concatenate([tau_base] + [tau_j[i][None] for i in range(1, n)])
 
 
 def nonlinear_effects(model, q, v):
@@ -473,9 +561,10 @@ def _composite_inertias(model, q):
     """Per-joint subtree composite 6x6 spatial inertias (local frames) and
     the joint transforms. Shared by crba and ccrba."""
     n = model.n_links
+    bq = model.base_nq
     X = [None]
     for i in range(1, n):
-        Rj = _joint_rotation(model.axis[i], q[7 + i - 1])
+        Rj = _joint_rotation(model.axis[i], q[bq + i - 1])
         R_li = jnp.asarray(model.R_tree[i]) @ Rj
         p_li = jnp.asarray(model.p_tree[i])
         X.append((R_li, p_li))
@@ -541,6 +630,9 @@ def crba(model, q):
             M = M.at[row, col].set(val)
             M = M.at[col, row].set(val)
             j = lam
+    if model.base_type == "euler_zyx":
+        T = _chart_T(model, q)
+        M = T.T @ M @ T
     return M
 
 
@@ -609,7 +701,10 @@ def ccrba(model, q):
         ])
         F = Ic[i] @ S
         cols.append(force_act(R_w[i], p_w[i] - com, F)[:, None])
-    return jnp.concatenate(cols, axis=1)
+    A = jnp.concatenate(cols, axis=1)
+    if model.base_type == "euler_zyx":
+        A = A @ _chart_T(model, q)
+    return A
 
 
 def dccrba(model, q, v):
@@ -620,7 +715,7 @@ def dccrba(model, q, v):
     integrate — jax.jvp replaces CasADi AD.
     """
     def A_of(dq):
-        return ccrba(model, integrate_q(q, dq))
+        return ccrba(model, model_integrate(model, q, dq))
 
     _, Adot = jax.jvp(A_of, (jnp.zeros(model.nv),), (v,))
     return Adot

@@ -6,6 +6,7 @@ URDF/SRDF descriptions by tools/extract_robot_spec.py); a URDF path can also
 be parsed directly for user-supplied robots.
 """
 
+import dataclasses
 import json
 import os
 
@@ -51,19 +52,49 @@ def _build_from_urdf(urdf_rel, srdf_rel, lock_joints=None):
     raise FileNotFoundError(f"no spec and no URDF found for {urdf_rel}")
 
 
+def _quat_to_euler_zyx_np(q):
+    """Host-side (x,y,z,w) quaternion -> ZYX euler angles."""
+    x, y, z, w = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    ry = np.arcsin(-np.clip(R[2, 0], -1, 1))
+    rz = np.arctan2(R[1, 0], R[0, 0])
+    rx = np.arctan2(R[2, 1], R[2, 2])
+    return np.array([rz, ry, rx])
+
+
+def _to_euler_base(model):
+    """Switch a free-flyer model to the Euler-ZYX composite base
+    (reference use_quaternion=False, utils/robot.py:13-18)."""
+    refs = {
+        name: np.concatenate([q[:3], _quat_to_euler_zyx_np(q[3:7]), q[7:]])
+        for name, q in model.reference_configurations.items()
+    }
+    return dataclasses.replace(
+        model, base_type="euler_zyx", reference_configurations=refs
+    )
+
+
 class Robot:
     """Mirror of reference Robot (utils/robot.py:10-42): dims, reference
     pose, gait attachment, end-effector frames."""
 
     FOOT_FRAMES = ["FR_foot", "FL_foot", "RR_foot", "RL_foot"]
 
-    def __init__(self, model, reference_pose, base_frame="base_link"):
+    def __init__(self, model, reference_pose, base_frame="base_link",
+                 use_quaternion=True):
+        if not use_quaternion:
+            model = _to_euler_base(model)
         self.model = model
         self.base_frame = base_frame
         if reference_pose and reference_pose in model.reference_configurations:
             self.q0 = np.asarray(model.reference_configurations[reference_pose])
         else:
-            self.q0 = np.concatenate([[0, 0, 0, 0, 0, 0, 1], np.zeros(model.nj)])
+            base0 = [0, 0, 0, 0, 0, 0, 1] if use_quaternion else [0] * 6
+            self.q0 = np.concatenate([base0, np.zeros(model.nj)])
 
         self.nq = model.nq
         self.nv = model.nv
@@ -90,11 +121,12 @@ class Robot:
 class Go2(Robot):
     """12-DoF Unitree Go2 (reference utils/robot.py:45-55)."""
 
-    def __init__(self, reference_pose="standing"):
+    def __init__(self, reference_pose="standing", use_quaternion=True):
         model = _load_spec("go2") or _build_from_urdf(
             "go2_description/urdf/go2.urdf", "go2_description/srdf/go2.srdf"
         )
-        super().__init__(model, reference_pose, base_frame="base")
+        super().__init__(model, reference_pose, base_frame="base",
+                         use_quaternion=use_quaternion)
         self.joint_pos_min = np.tile([-1.0472, -1.5708, -2.7227], 4)
         self.joint_pos_max = np.tile([1.0472, 3.4907, -0.83776], 4)
         self.joint_vel_max = np.tile([30.1, 30.1, 15.70], 4)
@@ -105,11 +137,12 @@ class B2(Robot):
     """12-DoF Unitree B2 with optional payload force frame
     (reference utils/robot.py:58-76)."""
 
-    def __init__(self, reference_pose="standing", payload=None):
+    def __init__(self, reference_pose="standing", payload=None,
+                 use_quaternion=True):
         model = _load_spec("b2") or _build_from_urdf(
             "b2_description/urdf/b2.urdf", "b2_description/srdf/b2.srdf"
         )
-        super().__init__(model, reference_pose)
+        super().__init__(model, reference_pose, use_quaternion=use_quaternion)
         self.joint_pos_min = np.tile([-0.87, -0.94, -2.82], 4)
         self.joint_pos_max = np.tile([0.87, 4.69, -0.43], 4)
         self.joint_vel_max = np.tile([23.0, 23.0, 14.0], 4)
@@ -127,7 +160,8 @@ class B2G(Robot):
     """B2 + Z1 arm + gripper; the gripper joint (and optionally the whole
     arm) is locked (reference utils/robot.py:79-118)."""
 
-    def __init__(self, reference_pose="standing_with_arm_up", ignore_arm=False):
+    def __init__(self, reference_pose="standing_with_arm_up", ignore_arm=False,
+                 use_quaternion=True):
         if ignore_arm:
             spec, lock = "b2g_arm_locked", range(14, 21)
         else:
@@ -137,7 +171,7 @@ class B2G(Robot):
             "b2g_description/srdf/b2g.srdf",
             lock_joints=lock,
         )
-        super().__init__(model, reference_pose)
+        super().__init__(model, reference_pose, use_quaternion=use_quaternion)
         self.joint_pos_min = np.tile([-0.87, -0.94, -2.82], 4)
         self.joint_pos_max = np.tile([0.87, 4.69, -0.43], 4)
         self.joint_vel_max = np.tile([23.0, 23.0, 14.0], 4)
