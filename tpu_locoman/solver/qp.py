@@ -17,7 +17,6 @@ OSQP parameters mirror the reference settings (ocp.py:267-273):
 alpha = 1.4 relaxation, rho = 2e-2 fixed, warm started.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
