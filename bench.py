@@ -42,12 +42,14 @@ def main():
     qp_precision = os.environ.get("BENCH_QP_PRECISION", "highest")
     factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
     matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
+    dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
     mpc = MPC(
         robot,
-        dynamics="whole_body_rnea",
+        dynamics=dynamics,
         nodes=nodes,
         config=SQPConfig(
             sqp_iters=sqp_iters,
@@ -61,7 +63,7 @@ def main():
     targets = jnp.tile(
         jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32), (batch, 1)
     )
-    step = batched_step(mpc, donate=False)
+    step = batched_step(mpc, donate=donate)
 
     # Warmup (compile + 2 ticks). NOTE: block_until_ready is not reliable
     # over the remote-TPU relay; a host device_get is the only trustworthy
@@ -86,7 +88,7 @@ def main():
     solves_per_s = solves / elapsed
     per_chip = solves_per_s / max(1, n_dev)
     result = {
-        "metric": "b2g_whole_body_rnea_trot_N14_mpc_solves_per_s_per_chip",
+        "metric": f"b2g_{dynamics}_trot_N{nodes}_mpc_solves_per_s_per_chip",
         "value": round(per_chip, 2),
         "unit": "solves/s/chip",
         "vs_baseline": round(per_chip / 2500.0, 4),
