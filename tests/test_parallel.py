@@ -109,3 +109,28 @@ def test_mixed_gait_batch_via_stage_params():
     x = np.asarray(new_carries.x_init)
     assert np.all(np.isfinite(x))
     assert not np.allclose(x[0], x[1], atol=1e-6)  # different gaits differ
+
+
+def test_host_chip_mesh_2d_sharding():
+    """2-D (host x chip) mesh: batch sharded over both axes still runs
+    (virtualized: 1 process x 8 devices -> reshape to (2, 4) manually)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    mpc = MPC(robot, dynamics="centroidal_acc", nodes=3, config=CONFIG)
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("host", "chip"))
+    batch = 8
+    sh = NamedSharding(mesh, P(("host", "chip")))
+    carries = jax.tree.map(
+        lambda x: jax.device_put(x, sh),
+        __import__("tpu_locoman.parallel", fromlist=["batched_init"]).batched_init(mpc, batch),
+    )
+    targets = jax.device_put(
+        jnp.tile(jnp.array([0.1, 0, 0, 0, 0, 0]), (batch, 1)), sh
+    )
+    from tpu_locoman.parallel import batched_step
+    step = batched_step(mpc, donate=False)
+    new_carries, stats = step(carries, jnp.float32(0.0), targets)
+    assert np.all(np.isfinite(np.asarray(new_carries.x_init)))
