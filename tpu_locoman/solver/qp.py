@@ -97,13 +97,14 @@ def assemble_blocks(G, B, C, P_diag, rho_vec, sigma):
     return H, U, A, D
 
 
-def tri_inverse_lower(L, nb=3):
+def tri_inverse_lower(L, nb=3, depth=2):
     """Inverse of a lower-triangular matrix via block-nilpotent doubling —
     all GEMMs (MXU) instead of an O(s)-sequential triangular solve.
 
     L = D + N with D the (nb-)block diagonal; A = -D^{-1} N is nilpotent
     with A^nb = 0, so L^{-1} = (sum_{j<nb} A^j) D^{-1} computed by doubling.
-    Only the small diagonal blocks use a real triangular solve.
+    The diagonal blocks recurse (depth levels) before falling back to a
+    small batched triangular solve, keeping the sequential sweep short.
     """
     s = L.shape[-1]
     b = -(-s // nb)  # ceil
@@ -115,8 +116,13 @@ def tri_inverse_lower(L, nb=3):
         )
     sp = nb * b
     blocks = jnp.stack([L[i * b:(i + 1) * b, i * b:(i + 1) * b] for i in range(nb)])
-    eye_b = jnp.eye(b, dtype=L.dtype)
-    dinv_blocks = jax.vmap(lambda Li: _tri_solve(Li, eye_b))(blocks)
+    if depth > 1 and b > 8:
+        dinv_blocks = jax.vmap(
+            lambda Li: tri_inverse_lower(Li, nb=nb, depth=depth - 1)
+        )(blocks)
+    else:
+        eye_b = jnp.eye(b, dtype=L.dtype)
+        dinv_blocks = jax.vmap(lambda Li: _tri_solve(Li, eye_b))(blocks)
     Dinv = jax.scipy.linalg.block_diag(*[dinv_blocks[i] for i in range(nb)])
     N = L - jax.scipy.linalg.block_diag(*[blocks[i] for i in range(nb)])
     A = -Dinv @ N
