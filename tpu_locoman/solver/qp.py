@@ -97,7 +97,7 @@ def assemble_blocks(G, B, C, P_diag, rho_vec, sigma):
     return H, U, A, D
 
 
-def tri_inverse_lower(L, nb=3, depth=2):
+def tri_inverse_lower(L, nb=3, depth=1):
     """Inverse of a lower-triangular matrix via block-nilpotent doubling —
     all GEMMs (MXU) instead of an O(s)-sequential triangular solve.
 
