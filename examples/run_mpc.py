@@ -6,6 +6,10 @@ MeshCat analog is a trajectory file; see --dump).
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import json
 import time
 

@@ -7,6 +7,10 @@ EOM-vs-RNEA debug check from run_ocp.py:106-161).
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
 import numpy as np
