@@ -206,5 +206,13 @@ def test_analytic_C_block_matches_autodiff(b2g, go2):
 
         C_ad = jax.vmap(one)(Z[:-1, :trans.ndx], Z[:-1, trans.ndx:],
                              Z[1:, :trans.ndx], sp)
-        np.testing.assert_allclose(np.asarray(C), np.asarray(C_ad),
-                                   atol=1e-5, err_msg=name)
+        # linearize returns only the dense rows (box rows are selectors)
+        np.testing.assert_allclose(
+            np.asarray(C), np.asarray(C_ad)[:, : trans.m_dense],
+            atol=1e-5, err_msg=name,
+        )
+        # and the dropped box rows never touch dx_next
+        np.testing.assert_allclose(
+            np.asarray(C_ad)[:, trans.m_dense:], 0.0, atol=1e-6,
+            err_msg=name,
+        )

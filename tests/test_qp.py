@@ -155,3 +155,46 @@ def test_admm_cyclic_matches_sequential():
                           ADMMConfig(iters=300, factorizer="cyclic"))
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xc),
                                atol=2e-2 * (np.abs(np.asarray(xs)).max() + 1))
+
+
+def test_admm_box_rows_match_dense_selectors():
+    """Box mode (selector rows via gather/scatter) must match the same
+    problem posed with explicit dense selector rows."""
+    rng = np.random.default_rng(9)
+    N, m, ndx, nu = 5, 6, 4, 3
+    s = ndx + nu
+    G, B, C, P = random_blocks(rng, N=N, m=m, ndx=ndx, nu=nu)
+    nbox = 3
+    box_idx = np.array([1, 4, 5])  # slots within the stage block
+    q = jnp.asarray(rng.normal(size=(N + 1, s)), dtype=jnp.float32)
+    l_d = jnp.asarray(rng.normal(size=(N, m)) - 2.0, dtype=jnp.float32)
+    u_d = jnp.asarray(np.asarray(l_d) + 1.0)
+    l_b = jnp.asarray(rng.normal(size=(N, nbox)) - 1.0, dtype=jnp.float32)
+    u_b = jnp.asarray(np.asarray(l_b) + 2.0)
+    cfg = ADMMConfig(iters=400)
+
+    # box mode
+    x1, z1, y1 = admm_solve(
+        G, B, C, P, q,
+        jnp.concatenate([l_d, l_b], axis=1),
+        jnp.concatenate([u_d, u_b], axis=1),
+        cfg, box_idx=box_idx,
+    )
+    # dense-equivalent: append explicit selector rows
+    sel = np.zeros((N, nbox, s), dtype=np.float32)
+    for k, idx in enumerate(box_idx):
+        sel[:, k, idx] = 1.0
+    G2 = jnp.concatenate([G, jnp.asarray(sel[:, :, :ndx])], axis=1)
+    B2 = jnp.concatenate([B, jnp.asarray(sel[:, :, ndx:])], axis=1)
+    C2 = jnp.concatenate(
+        [C, jnp.zeros((N, nbox, ndx), dtype=jnp.float32)], axis=1
+    )
+    x2, z2, y2 = admm_solve(
+        G2, B2, C2, P, q,
+        jnp.concatenate([l_d, l_b], axis=1),
+        jnp.concatenate([u_d, u_b], axis=1),
+        cfg,
+    )
+    scale = float(jnp.max(jnp.abs(x2))) + 1.0
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               atol=5e-3 * scale)

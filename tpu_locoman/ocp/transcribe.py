@@ -73,6 +73,25 @@ class Transcription:
         )
         self.m = self.n_eq + self.n_ineq
 
+        # The trailing box rows (q_j, v_j[, tau_j]) are pure selectors of
+        # stage-block slots: the QP treats them via gather/scatter instead
+        # of dense Jacobian rows (solver/qp.py box mode).
+        self.n_box = 2 * nj + (nj if self.has_tau else 0)
+        self.m_dense = self.m - self.n_box
+        slots = []
+        if form.name == "centroidal_vel":
+            # dx = [dh(6), dq(nv)]; joint dq at 6+6+j
+            slots += [6 + 6 + j for j in range(nj)]
+            off = self.ndx + (6 if form.include_base else 0)
+            slots += [off + j for j in range(nj)]  # v_j in u
+        else:
+            # dx = [dq(nv), dv(nv)]
+            slots += [6 + j for j in range(nj)]
+            slots += [form.nv + 6 + j for j in range(nj)]
+        if self.has_tau:
+            slots += [self.ndx + form.tau_idx + j for j in range(nj)]
+        self.box_slots = np.asarray(slots, dtype=np.int32)
+
     # ------------------------------------------------------------------
     def stage_residual(self, dx, u, dx_next, sp: StageParams,
                        shared: SharedParams):
@@ -152,13 +171,18 @@ class Transcription:
         u.append(jnp.full((2 * nf4,), _INF))
 
         sm = sp.state_mask
+        # q rows read dx slots, which are pinned at node 0 — the row cannot
+        # act there, so its bounds open up (the dense path's Jacobian row is
+        # zero at node 0 for the same reason).
+        smq = sp.state_mask * sp.node0_mask
         pos_min = jnp.asarray(form.robot.joint_pos_min, dtype=jnp.float32)
         pos_max = jnp.asarray(form.robot.joint_pos_max, dtype=jnp.float32)
         vel_max = jnp.asarray(form.robot.joint_vel_max, dtype=jnp.float32)
-        l.append(jnp.where(sm > 0, pos_min, -_INF))
-        u.append(jnp.where(sm > 0, pos_max, _INF))
-        l.append(jnp.where(sm > 0, -vel_max, -_INF))
-        u.append(jnp.where(sm > 0, vel_max, _INF))
+        l.append(jnp.where(smq > 0, pos_min, -_INF))
+        u.append(jnp.where(smq > 0, pos_max, _INF))
+        smv = sm if form.name == "centroidal_vel" else sm * sp.node0_mask
+        l.append(jnp.where(smv > 0, -vel_max, -_INF))
+        u.append(jnp.where(smv > 0, vel_max, _INF))
         if self.has_tau:
             tau_max = jnp.asarray(form.robot.joint_torque_max, dtype=jnp.float32)
             tm = sp.tau_mask
@@ -198,9 +222,10 @@ class Transcription:
 
             g, G, B = jax.vmap(one)(DX[:-1], U, DX[1:], stage_params)
             C = jnp.broadcast_to(
-                jnp.asarray(C_full), (self.nodes, self.m, self.ndx)
+                jnp.asarray(C_full[: self.m_dense]),
+                (self.nodes, self.m_dense, self.ndx),
             )
-            return g, G, B, C
+            return g, G[:, : self.m_dense], B[:, : self.m_dense], C
 
         def one(dx, u_, dxn, sp):
             fn = lambda a, b, c: self.stage_residual(a, b, c, sp, shared)
@@ -208,7 +233,9 @@ class Transcription:
             G, B, C = jax.jacfwd(fn, argnums=(0, 1, 2))(dx, u_, dxn)
             return g, G, B, C
 
-        return jax.vmap(one)(DX[:-1], U, DX[1:], stage_params)
+        g, G, B, C = jax.vmap(one)(DX[:-1], U, DX[1:], stage_params)
+        return (g, G[:, : self.m_dense], B[:, : self.m_dense],
+                C[:, : self.m_dense])
 
     def bounds(self, stage_params, shared):
         return jax.vmap(lambda sp: self.stage_bounds(sp, shared))(stage_params)

@@ -68,7 +68,7 @@ def _tri_solve(L, b, lower=True, trans=False):
     )
 
 
-def assemble_blocks(G, B, C, P_diag, rho_vec, sigma):
+def assemble_blocks(G, B, C, P_diag, rho_vec, sigma, box_idx=None):
     """Build the tridiagonal blocks of M = P + sigma I + A^T diag(rho) A.
 
     G, B, C: (N, m, ndx), (N, m, nu), (N, m, ndx) stage Jacobians; node i's
@@ -84,15 +84,20 @@ def assemble_blocks(G, B, C, P_diag, rho_vec, sigma):
     A = jnp.concatenate([G, B], axis=2)  # (N, m, s)
     D = jnp.concatenate([C, jnp.zeros((N, m, nu), dtype=C.dtype)], axis=2)
 
-    rA = rho_vec[:, :, None] * A
+    md = m
+    rho_dense = rho_vec[:, :md]
+    rA = rho_dense[:, :, None] * A
     AtA = jnp.einsum("nms,nmt->nst", rA, A)
-    DtD = jnp.einsum("nms,nmt->nst", rho_vec[:, :, None] * D, D)
+    DtD = jnp.einsum("nms,nmt->nst", rho_dense[:, :, None] * D, D)
     AtD = jnp.einsum("nms,nmt->nst", rA, D)
 
     H = jnp.zeros((N + 1, s, s), dtype=G.dtype)
     H = H.at[:N].add(AtA)
     H = H.at[1:].add(DtD)
     H = H + jax.vmap(jnp.diag)(P_diag + sigma)
+    if box_idx is not None:
+        # selector rows contribute rho on the diagonal of their slots
+        H = H.at[:N, box_idx, box_idx].add(rho_vec[:, md:])
     U = AtD
     return H, U, A, D
 
@@ -293,20 +298,29 @@ def solve_factorized(fac: BlockTridiagFactor, b):
     return X
 
 
-def _A_matvec(A, D, X):
-    """w_i = A_i s_i + D_i s_{i+1}; X is (N+1, s) -> (N, m)."""
-    return jnp.einsum("nms,ns->nm", A, X[:-1]) + jnp.einsum(
+def _A_matvec(A, D, X, box_idx=None):
+    """w_i = A_i s_i + D_i s_{i+1}; X is (N+1, s) -> (N, m).
+
+    box_idx: static slot indices of pure-selector (box) rows appended after
+    the dense rows — their products are gathers, not GEMMs."""
+    out = jnp.einsum("nms,ns->nm", A, X[:-1]) + jnp.einsum(
         "nms,ns->nm", D, X[1:]
     )
+    if box_idx is not None:
+        out = jnp.concatenate([out, X[:-1][:, box_idx]], axis=1)
+    return out
 
 
-def _At_matvec(A, D, W):
+def _At_matvec(A, D, W, box_idx=None):
     """X_i = A_i^T w_i + D_{i-1}^T w_{i-1}; W is (N, m) -> (N+1, s)."""
-    N, m = W.shape
+    N = W.shape[0]
     s = A.shape[2]
+    md = A.shape[1]
     out = jnp.zeros((N + 1, s), dtype=W.dtype)
-    out = out.at[:-1].add(jnp.einsum("nms,nm->ns", A, W))
-    out = out.at[1:].add(jnp.einsum("nms,nm->ns", D, W))
+    out = out.at[:-1].add(jnp.einsum("nms,nm->ns", A, W[:, :md]))
+    out = out.at[1:].add(jnp.einsum("nms,nm->ns", D, W[:, :md]))
+    if box_idx is not None:
+        out = out.at[:-1, box_idx].add(W[:, md:])
     return out
 
 
@@ -357,7 +371,7 @@ def ruiz_equilibrate(G, B, C, P_diag, iters):
 
 
 def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
-               x0=None, z0=None, y0=None):
+               x0=None, z0=None, y0=None, box_idx=None):
     """Solve min 1/2 d^T P d + q^T d  s.t.  l <= A d <= u  (OSQP splitting).
 
     Returns (d, z, y): primal step (N+1, s), constraint auxiliary (N, m) and
@@ -365,11 +379,12 @@ def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
     lam_g the same way, ocp.py:373).
     """
     with jax.default_matmul_precision(cfg.precision):
-        return _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0)
+        return _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0,
+                                box_idx)
 
 
-def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
-    N, m, _ = G.shape
+def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx):
+    N, m, _ = G.shape  # m = dense rows; l/u may carry extra box rows
     ndx = G.shape[2]
     s = P_diag.shape[1]
 
@@ -379,20 +394,28 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
 
     # Ruiz equilibration (OSQP scaling; the reference relies on OSQP's
     # built-in scaling, osqp defaults at ocp.py:305-313).
+    m_rows_all = l.shape[1]
     if cfg.scaling_iters > 0:
         E, Dc = ruiz_equilibrate(G, B, C, P_diag, cfg.scaling_iters)
+        if box_idx is not None:
+            # selector rows stay unit-scaled (approximate when scaling on)
+            E = jnp.concatenate(
+                [E, jnp.ones((N, m_rows_all - m), dtype=q.dtype)], axis=1
+            )
     else:
-        E = jnp.ones((N, m), dtype=q.dtype)
+        E = jnp.ones((N, m_rows_all), dtype=q.dtype)
         Dc = jnp.ones((N + 1, s), dtype=q.dtype)
-    G = G * E[:, :, None] * Dc[:-1, None, :ndx]
-    B = B * E[:, :, None] * Dc[:-1, None, ndx:]
-    C = C * E[:, :, None] * Dc[1:, None, :ndx]
+    Ed = E[:, :m]
+    G = G * Ed[:, :, None] * Dc[:-1, None, :ndx]
+    B = B * Ed[:, :, None] * Dc[:-1, None, ndx:]
+    C = C * Ed[:, :, None] * Dc[1:, None, :ndx]
     P_diag = P_diag * Dc * Dc
     q = q * Dc
     l = l * E
     u = u * E
 
-    H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma)
+    H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
+                                 box_idx=box_idx)
     if cfg.factorizer == "cyclic":
         fac = factorize_cyclic(H, U)
         solve = solve_cyclic
@@ -400,9 +423,10 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
         fac = factorize(H, U)
         solve = solve_factorized
 
+    m_rows = l.shape[1]
     x = jnp.zeros((N + 1, s), dtype=q.dtype) if x0 is None else x0 / Dc
-    z = jnp.zeros((N, m), dtype=q.dtype) if z0 is None else z0 * E
-    y = jnp.zeros((N, m), dtype=q.dtype) if y0 is None else y0 / E
+    z = jnp.zeros((N, m_rows), dtype=q.dtype) if z0 is None else z0 * E
+    y = jnp.zeros((N, m_rows), dtype=q.dtype) if y0 is None else y0 / E
 
     if cfg.matvec_dtype == "bfloat16":
         Amv = A.astype(jnp.bfloat16)
@@ -412,9 +436,10 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0):
 
     def body(_, carry):
         x, z, y = carry
-        rhs = cfg.sigma * x - q + _At_matvec(Amv, Dmv, rho_vec * z - y)
+        rhs = cfg.sigma * x - q + _At_matvec(Amv, Dmv, rho_vec * z - y,
+                                             box_idx)
         x_t = solve(fac, rhs)
-        z_t = _A_matvec(Amv, Dmv, x_t)
+        z_t = _A_matvec(Amv, Dmv, x_t, box_idx)
         x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
         z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
         z_new = jnp.clip(z_relax + y / rho_vec, l, u)

@@ -140,7 +140,8 @@ class SQPSolver:
             l = l_b - g
             u = u_b - g
             d, z_admm, y_admm = admm_solve(
-                G, B, C, P_diag, q, l, u, cfg.admm, z0=z_admm, y0=y_admm
+                G, B, C, P_diag, q, l, u, cfg.admm, z0=z_admm, y0=y_admm,
+                box_idx=t.box_slots,
             )
             # A failed solve (NaN) must not poison the iterate: treat it as
             # a zero step, like the reference's opti.debug fallback
