@@ -102,3 +102,22 @@ def test_batched_rollout_matches_single(mpc_rollout):
     np.testing.assert_allclose(
         x[0], np.asarray(outs["x"])[0], rtol=2e-3, atol=1e-3
     )
+
+
+def test_walk_gait_rollout():
+    """Walk gait (3 contacts, quarter-phase swing) end to end."""
+    robot = Go2()
+    robot.set_gait_sequence("walk", 0.8)
+    mpc = MPC(
+        robot,
+        dynamics="centroidal_acc",
+        nodes=6,
+        config=SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=20)),
+    )
+    assert mpc.n_contacts == 3
+    run = jax.jit(lambda: mpc.run(20, jnp.array([0.1, 0, 0, 0, 0, 0])))
+    carry, outs = run()
+    x = np.asarray(outs["x"])
+    assert np.all(np.isfinite(x))
+    assert np.all(np.abs(x[:, 2] - 0.35) < 0.06)  # height held
+    assert np.all(np.abs(x[:, 3:6]) < 0.25)  # orientation bounded
