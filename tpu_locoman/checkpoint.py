@@ -16,6 +16,11 @@ from .solver.sqp import SolverState
 
 
 def save_carry(path, carry: MPCCarry):
+    # np.savez appends ".npz" when missing; normalize so the returned path
+    # is the file that actually exists on disk.
+    path = str(path)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(
         path,
         x_init=np.asarray(carry.x_init),

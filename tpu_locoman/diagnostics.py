@@ -88,15 +88,33 @@ class SolveReport:
         return "\n".join(lines)
 
 
-def solve_report(mpc, carry, t_current, base_vel_des, **target_kw):
+def solve_report(mpc, carry, t_current, base_vel_des, solve=True,
+                 **target_kw):
     """Structured per-solve quality report (the analog of the reference's
-    printouts at ocp.py:367-414)."""
+    printouts at ocp.py:367-414).
+
+    With solve=True (default) one solver step is performed from the carry
+    and the report covers the resulting iterate — including the real
+    line-search alpha and status the reference prints every solve
+    (ocp.py:475). solve=False inspects the carried iterate as-is."""
     shared = mpc.make_shared(
         carry.x_init, base_vel_des, tau_prev=carry.tau_prev, **target_kw
     )
     sp = mpc.make_stage_params(t_current)
     trans = mpc.trans
-    g = trans.evaluate(carry.solver_state.Z, sp, shared)
+    extras = {}
+    if solve:
+        warm = carry.solver_state._replace(
+            Z=mpc.warm_start_Z(carry.solver_state.Z, sp, shared)
+        )
+        state, stats = mpc.solver.solve(warm, sp, shared)
+        Z = state.Z
+        alpha = float(stats["alpha"])
+        extras["status"] = int(stats["status"])
+    else:
+        Z = carry.solver_state.Z
+        alpha = float("nan")
+    g = trans.evaluate(Z, sp, shared)
     l, u = trans.bounds(sp, shared)
     viol = np.asarray(jnp.maximum(0, l - g) + jnp.maximum(0, g - u))
     groups = row_group_layout(trans)
@@ -104,14 +122,13 @@ def solve_report(mpc, carry, t_current, base_vel_des, **target_kw):
         name: float(viol[:, a:b].max()) if b > a else 0.0
         for name, a, b in groups
     }
-    obj = trans.objective_value(
-        carry.solver_state.Z, trans.objective_data(shared)
-    )
+    obj = trans.objective_value(Z, trans.objective_data(shared))
     return SolveReport(
         max_violation=float(viol.max()),
         violation_by_group=by_group,
         objective=float(obj),
-        alpha=float("nan"),
+        alpha=alpha,
+        extras=extras,
     )
 
 

@@ -113,6 +113,41 @@ class Formulation:
         +dx_next identity coefficient)."""
         raise NotImplementedError
 
+    def dyn_nl_idx(self):
+        """Static indices (within [0, n_dyn)) of the dynamics rows whose
+        (dx, u) Jacobian needs autodiff, or None when the split-linearize
+        path does not apply to this configuration (transcribe then falls
+        back to full jacfwd).
+
+        For the default configs (include_base=True / include_acc=True) the
+        propagation rows are affine in (dx, u) with stage-parameter-only
+        coefficients — the reference instead hands ALL rows to CasADi's
+        one-shot jacobian(g, x) (ocp.py:283)."""
+        return None
+
+    def dyn_lin_jacobian(self, sp):
+        """(n_dyn, ndx+nu) constant Jacobian [d/d dx | d/d u] of the
+        affine dynamics rows (zero on the dyn_nl_idx rows). Only called
+        when dyn_nl_idx() is not None."""
+        raise NotImplementedError
+
+    def _prop_lin_jacobian(self, sp, with_rv=True):
+        """Shared builder for the Euler propagation rows of the (q, v)
+        state layout: r_q = dxn[:nv] - (dx*n0)[:nv] - (v0 + (dx*n0)[nv:])*dt
+        and (with_rv) r_v = dxn[nv:] - (dx*n0)[nv:] - u[:nv]*dt."""
+        nv = self.nv
+        s = self.ndx + self.nu
+        n0 = sp.node0_mask
+        dt = sp.dt
+        eye = jnp.eye(nv)
+        J = jnp.zeros((self.n_dyn, s))
+        J = J.at[:nv, :nv].set(-n0 * eye)
+        J = J.at[:nv, nv:2 * nv].set(-n0 * dt * eye)
+        if with_rv:
+            J = J.at[nv:2 * nv, nv:2 * nv].set(-n0 * eye)
+            J = J.at[nv:2 * nv, self.ndx:self.ndx + nv].set(-dt * eye)
+        return J
+
     # -- shared force kernels ------------------------------------------
     def com_dynamics(self, q, forces):
         """hdot (scaled by mass) from contact forces — Newton-Euler about
@@ -225,6 +260,27 @@ class CentroidalVel(Formulation):
             v = jnp.concatenate([self.base_vel_dynamics(h, q, v_j), v_j])
         return {"h": h, "q": q, "v": v, "forces": forces, "a": None, "tau_j": None}
 
+    def dyn_nl_idx(self):
+        if not self.include_base:
+            # v_b elimination makes r_q nonlinear in (dx, u) — no split
+            return None
+        # r_h rows (com dynamics) and the momentum gaps need AD; the q
+        # propagation rows are affine (v is a decision variable).
+        return np.concatenate([
+            np.arange(6), np.arange(6 + self.nv, self.n_dyn)
+        ]).astype(np.int32)
+
+    def dyn_lin_jacobian(self, sp):
+        nv = self.nv
+        s = self.ndx + self.nu
+        n0 = sp.node0_mask
+        eye = jnp.eye(nv)
+        J = jnp.zeros((self.n_dyn, s))
+        # r_q = dxn[6:] - (dx*n0)[6:] - u[:nv]*dt
+        J = J.at[6:6 + nv, 6:6 + nv].set(-n0 * eye)
+        J = J.at[6:6 + nv, self.ndx:self.ndx + nv].set(-sp.dt * eye)
+        return J
+
     def dyn_residual(self, x_init, dx, u, dx_next, sp: StageParams):
         """(ocp_centroidal_vel.py:85-129)."""
         d = self.decode(x_init, dx, u)
@@ -332,6 +388,14 @@ class CentroidalAcc(_AccStateFormulation):
             a = jnp.concatenate([self.base_acc_dynamics(q, v, a_j, forces), a_j])
         return {"q": q, "v": v, "a": a, "forces": forces, "tau_j": None}
 
+    def dyn_nl_idx(self):
+        if not self.include_base:
+            return None  # base-acc elimination makes r_v nonlinear
+        return np.arange(2 * self.nv, self.n_dyn, dtype=np.int32)
+
+    def dyn_lin_jacobian(self, sp):
+        return self._prop_lin_jacobian(sp, with_rv=True)
+
     def dyn_residual(self, x_init, dx, u, dx_next, sp: StageParams):
         """(ocp_centroidal_acc.py:89-111)."""
         d = self.decode(x_init, dx, u)
@@ -404,6 +468,14 @@ class WholeBodyAcc(_AccStateFormulation):
             a = jnp.concatenate([self.base_acc_dynamics(q, v, a_j, forces), a_j])
         return {"q": q, "v": v, "a": a, "forces": forces, "tau_j": None}
 
+    def dyn_nl_idx(self):
+        if not self.include_base:
+            return None
+        return np.arange(2 * self.nv, self.n_dyn, dtype=np.int32)
+
+    def dyn_lin_jacobian(self, sp):
+        return self._prop_lin_jacobian(sp, with_rv=True)
+
     def dyn_residual(self, x_init, dx, u, dx_next, sp: StageParams):
         """(ocp_whole_body_acc.py:90-112); gaps are the base rows of RNEA
         with external forces (dynamics_whole_body_acc.py:85-126)."""
@@ -468,6 +540,16 @@ class WholeBodyRNEA(_AccStateFormulation):
         forces = u[self.f_idx: self.tau_idx]
         tau_j = u[self.tau_idx:]
         return {"q": q, "v": v, "a": a, "forces": forces, "tau_j": tau_j}
+
+    def dyn_nl_idx(self):
+        if not self.include_acc:
+            return None  # fd accelerations couple the RNEA rows to dx_next
+        # RNEA base rows + torque-equality rows (the -tau_j selector is
+        # picked up by the same jacrev pass at no extra cost).
+        return np.arange(2 * self.nv, self.n_dyn, dtype=np.int32)
+
+    def dyn_lin_jacobian(self, sp):
+        return self._prop_lin_jacobian(sp, with_rv=True)
 
     def dyn_residual(self, x_init, dx, u, dx_next, sp: StageParams):
         """(ocp_whole_body_rnea.py:138-171). Torque-equality rows are
@@ -539,6 +621,13 @@ class WholeBodyABA(_AccStateFormulation):
         forces = u[self.f_idx:]
         a = self.aba_dyn(q, v, tau_j, forces)
         return {"q": q, "v": v, "a": a, "forces": forces, "tau_j": tau_j}
+
+    def dyn_nl_idx(self):
+        # r_v goes through ABA (nonlinear in everything); r_q is affine.
+        return np.arange(self.nv, 2 * self.nv, dtype=np.int32)
+
+    def dyn_lin_jacobian(self, sp):
+        return self._prop_lin_jacobian(sp, with_rv=False)
 
     def dyn_residual(self, x_init, dx, u, dx_next, sp: StageParams):
         """(ocp_whole_body_aba.py:86-106)."""

@@ -26,6 +26,8 @@ from .solver import SQPSolver, SQPConfig, SolverState
 def geometric_dts(dt_min, dt_max, nodes):
     """Geometrically growing step sizes dt_i = dt_min * gamma^i
     (ocp.py:71-74)."""
+    if nodes < 2:
+        raise ValueError("geometric_dts needs nodes >= 2 (gamma exponent is 1/(nodes-1))")
     ratio = dt_max / dt_min
     gamma = ratio ** (1.0 / (nodes - 1))
     return dt_min * gamma ** jnp.arange(nodes, dtype=jnp.float32)
@@ -206,6 +208,9 @@ class MPC:
                 "x": carry.x_init,
                 "max_violation": stats["max_violation"],
                 "alpha": stats["alpha"],
+                # 0 = ok, 1 = line search rejected every trial, 2 = QP
+                # failure (the reference leaves status a TODO, ocp.py:369)
+                "status": stats["status"],
             }
             return carry, out
 

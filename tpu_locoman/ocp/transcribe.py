@@ -92,6 +92,41 @@ class Transcription:
             slots += [self.ndx + form.tau_idx + j for j in range(nj)]
         self.box_slots = np.asarray(slots, dtype=np.int32)
 
+        # ---- split-linearize layout (analytic affine rows + jacrev on the
+        # truly nonlinear rows; the reference one-shots jacobian(g, x),
+        # ocp.py:283) ------------------------------------------------------
+        dyn_nl = form.dyn_nl_idx()
+        self.split_ok = dyn_nl is not None and form.dx_next_pattern() is not None
+        if self.split_ok:
+            n_dyn = self.n_dyn
+            off_sw = n_dyn
+            off_xy = off_sw + 3 * nf4
+            off_z = off_xy + 2 * nf4
+            off_ext = off_z + nf4
+            off_arm = off_ext + (3 if self.has_ext else 0)
+            off_fric = off_arm + (3 if self.has_arm else 0)
+            off_cone = off_fric + nf4
+            assert off_cone + nf4 == self.m_dense
+
+            self.dyn_nl_rows = np.asarray(dyn_nl, dtype=np.int32)
+            vel_rows = list(range(off_xy, off_z + nf4))  # xy then z rows
+            if self.has_arm:
+                vel_rows += list(range(off_arm, off_arm + 3))
+            self.vel_rows = np.asarray(vel_rows, dtype=np.int32)
+            self.cone_rows = np.arange(off_cone, off_cone + nf4, dtype=np.int32)
+
+            # Selector rows: (row, col) index pairs + the stage-param value
+            # source is built in _lin_jacobian.
+            f0 = self.ndx + form.f_idx
+            self.sw_rows = np.arange(off_sw, off_sw + 3 * nf4, dtype=np.int32)
+            self.sw_cols = f0 + np.arange(3 * nf4, dtype=np.int32)
+            if self.has_ext:
+                self.ext_rows = np.arange(off_ext, off_ext + 3, dtype=np.int32)
+                self.ext_cols = f0 + 3 * nf4 + np.arange(3, dtype=np.int32)
+            self.fric_rows = np.arange(off_fric, off_fric + nf4, dtype=np.int32)
+            self.fric_cols = f0 + 3 * np.arange(nf4, dtype=np.int32) + 2
+            self.cone_cols = f0 + np.arange(3 * nf4, dtype=np.int32)
+
     # ------------------------------------------------------------------
     def stage_residual(self, dx, u, dx_next, sp: StageParams,
                        shared: SharedParams):
@@ -199,13 +234,124 @@ class Transcription:
             lambda dx, u_, dxn, sp: self.stage_residual(dx, u_, dxn, sp, shared)
         )(DX[:-1], U, DX[1:], stage_params)
 
+    # -- split-linearize helpers ---------------------------------------
+    def _nl_dyn_fn(self, dx, u, sp, shared):
+        """The AD-requiring dynamics rows only (RNEA / ABA / centroidal
+        gaps), as a standalone traced function so jacrev's backward pass
+        contains nothing else."""
+        dxm = dx * sp.node0_mask
+        r = self.form.dyn_residual(
+            shared.x_init, dxm, u, jnp.zeros(self.ndx), sp
+        )
+        return r[self.dyn_nl_rows]
+
+    def _nl_vel_fn(self, dx, u, sp, shared):
+        """The frame-velocity rows (contact xy, blended z, arm EE), masked
+        exactly as in stage_residual."""
+        from .. import rbda
+
+        form = self.form
+        dxm = dx * sp.node0_mask
+        d = form.decode(shared.x_init, dxm, u)
+        kin = rbda.fk_vel(form.model, d["q"], d["v"])
+        xy_rows, z_rows = [], []
+        for idx in range(form.n_feet):
+            c = sp.contact[idx]
+            vel = rbda.frame_velocity_from(
+                form.model, form.foot_frames[idx], *kin
+            )
+            xy_rows.append(sp.state_mask * c * vel[:2])
+            z_rows.append(sp.state_mask * vel[2][None])  # blend consts drop
+        rows = xy_rows + z_rows
+        if self.has_arm:
+            vel = rbda.frame_velocity_from(
+                form.model, form.arm_ee_frame, *kin,
+                relative_to_base=True, base_frame=form.base_frame,
+            )
+            rows.append(sp.state_mask * vel[:3])
+        return jnp.concatenate(rows)
+
+    def _cone_jac(self, u, sp):
+        """Analytic friction-cone Jacobian rows: d/d f of
+        c*(mu^2 fz^2 - fx^2 - fy^2) = c*[-2fx, -2fy, 2 mu^2 fz]."""
+        form = self.form
+        f = u[form.f_idx: form.f_idx + 3 * form.n_feet].reshape(
+            form.n_feet, 3
+        )
+        c = sp.contact[: form.n_feet]
+        vals = jnp.stack(
+            [-2.0 * f[:, 0], -2.0 * f[:, 1], 2.0 * self.mu**2 * f[:, 2]],
+            axis=1,
+        ) * c[:, None]  # (nf, 3)
+        J = jnp.zeros((form.n_feet, self.s))
+        rows = np.repeat(np.arange(form.n_feet), 3)
+        return J.at[rows, self.cone_cols].set(vals.reshape(-1))
+
+    def _lin_jacobian(self, sp):
+        """(m_dense, s) constant Jacobian: affine dynamics rows + the
+        swing-zero-force / ext-force / friction-normal selector rows.
+        Rows in dyn_nl_rows / vel_rows / cone_rows stay zero (overwritten
+        by the AD results)."""
+        J = jnp.zeros((self.m_dense, self.s))
+        J = J.at[: self.n_dyn].set(self.form.dyn_lin_jacobian(sp))
+        sw_vals = jnp.repeat(1.0 - sp.contact[: self.form.n_feet], 3)
+        J = J.at[self.sw_rows, self.sw_cols].set(sw_vals)
+        if self.has_ext:
+            J = J.at[self.ext_rows, self.ext_cols].set(1.0)
+        J = J.at[self.fric_rows, self.fric_cols].set(
+            sp.contact[: self.form.n_feet]
+        )
+        return J
+
+    def _linearize_split(self, Z, stage_params, shared):
+        DX = Z[:, : self.ndx]
+        U = Z[:-1, self.ndx:]
+        C_pat = self.form.dx_next_pattern()
+        C_full = np.zeros((self.m_dense, self.ndx), dtype=np.float32)
+        C_full[: self.form.n_dyn] = C_pat
+
+        def one(dx, u_, dxn, sp):
+            g = self.stage_residual(dx, u_, dxn, sp, shared)
+            Jd_dx, Jd_u = jax.jacrev(
+                lambda a, b: self._nl_dyn_fn(a, b, sp, shared),
+                argnums=(0, 1),
+            )(dx, u_)
+            Jv_dx, Jv_u = jax.jacrev(
+                lambda a, b: self._nl_vel_fn(a, b, sp, shared),
+                argnums=(0, 1),
+            )(dx, u_)
+            GB = self._lin_jacobian(sp)
+            GB = GB.at[self.dyn_nl_rows].set(
+                jnp.concatenate([Jd_dx, Jd_u], axis=1)
+            )
+            GB = GB.at[self.vel_rows].set(
+                jnp.concatenate([Jv_dx, Jv_u], axis=1)
+            )
+            GB = GB.at[self.cone_rows].set(self._cone_jac(u_, sp))
+            return g, GB
+
+        g, GB = jax.vmap(one)(DX[:-1], U, DX[1:], stage_params)
+        C = jnp.broadcast_to(
+            jnp.asarray(C_full), (self.nodes, self.m_dense, self.ndx)
+        )
+        return g, GB[..., : self.ndx], GB[..., self.ndx:], C
+
     def linearize(self, Z, stage_params, shared):
-        """g and its stage-block Jacobians via vmapped jacfwd — the analog
-        of CasADi's jacobian(g, x) (ocp.py:283).
+        """g and its stage-block Jacobians — the analog of CasADi's
+        jacobian(g, x) (ocp.py:283).
+
+        Default configs take the split path: affine rows (propagation,
+        swing zero-force, ext force, friction normal) get analytic
+        constant Jacobians and only the truly nonlinear rows (RNEA/ABA/
+        centroidal gaps, frame velocities, cones) go through AD — jacrev,
+        because those row counts (~40) are far below the stage width
+        (~105 tangents for jacfwd).
 
         The dx_next block (C) is a constant identity pattern for all default
         formulations (Euler-propagation rows only), so those ndx tangents
         skip autodiff entirely (Formulation.dx_next_pattern)."""
+        if self.split_ok:
+            return self._linearize_split(Z, stage_params, shared)
         DX = Z[:, : self.ndx]
         U = Z[:-1, self.ndx:]
         C_pat = self.form.dx_next_pattern()

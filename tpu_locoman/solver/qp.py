@@ -398,10 +398,11 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx):
     if cfg.scaling_iters > 0:
         E, Dc = ruiz_equilibrate(G, B, C, P_diag, cfg.scaling_iters)
         if box_idx is not None:
-            # selector rows stay unit-scaled (approximate when scaling on)
-            E = jnp.concatenate(
-                [E, jnp.ones((N, m_rows_all - m), dtype=q.dtype)], axis=1
-            )
+            # Box rows are pure selectors applied to the SCALED variable
+            # (coefficient exactly 1 in _A_matvec), so their row scaling must
+            # be E = 1/Dc at the selected slot for the unscaled bounds to
+            # stay exact: l*E <= x/Dc <= u*E  <=>  l <= x <= u.
+            E = jnp.concatenate([E, 1.0 / Dc[:-1][:, box_idx]], axis=1)
     else:
         E = jnp.ones((N, m_rows_all), dtype=q.dtype)
         Dc = jnp.ones((N + 1, s), dtype=q.dtype)

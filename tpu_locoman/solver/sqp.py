@@ -20,6 +20,10 @@ from .qp import ADMMConfig, admm_solve
 class SQPConfig(NamedTuple):
     sqp_iters: int = 1  # reference runs 1 SQP iteration per tick (ocp.py:383)
     admm: ADMMConfig = ADMMConfig()
+    # Optional per-SQP-iteration ADMM iteration counts, e.g. (10, 5) runs a
+    # second cheap corrector pass that knocks down gait-transition spikes
+    # (CLAUDE.md roadmap item 4). None = admm.iters for every iteration.
+    admm_schedule: tuple = None
     line_search: bool = True
     # Line-search parameters (ocp.py:431-438).
     armijo_factor: float = 1e-4
@@ -42,6 +46,8 @@ class SolverState(NamedTuple):
 
 class SQPSolver:
     def __init__(self, transcription, config: SQPConfig = SQPConfig()):
+        if config.sqp_iters < 1:
+            raise ValueError("SQPConfig.sqp_iters must be >= 1")
         self.trans = transcription
         self.cfg = config
 
@@ -91,9 +97,13 @@ class SQPSolver:
                 & (armijo_metric < 0)
                 & (new_f <= f0 + cfg.armijo_factor * armijo_metric * alpha_k)
             )
+            # c3 mirrors the reference's elif fall-through exactly: branch 2
+            # captures the trial only when BOTH its guards hold (tiny
+            # violations AND a descent direction); with armijo >= 0 the
+            # reference falls to rule 3 even when violations are tiny.
             c3 = (
                 (new_g <= cfg.g_max)
-                & ~(jnp.maximum(new_g, g0) < cfg.g_min)
+                & ~((jnp.maximum(new_g, g0) < cfg.g_min) & (armijo_metric < 0))
                 & (
                     (new_f <= f0 - cfg.gamma * new_g)
                     | (new_g < (1.0 - cfg.gamma) * g0)
@@ -134,13 +144,16 @@ class SQPSolver:
         z_admm, y_admm = state.z_admm, state.y_admm
         alpha = jnp.zeros((), Z.dtype)
 
-        for _ in range(cfg.sqp_iters):
+        for it in range(cfg.sqp_iters):
+            admm_cfg = cfg.admm
+            if cfg.admm_schedule is not None:
+                admm_cfg = admm_cfg._replace(iters=cfg.admm_schedule[it])
             g, G, B, C = t.linearize(Z, stage_params, shared)
             q = t.objective_gradient(Z, obj)
             l = l_b - g
             u = u_b - g
             d, z_admm, y_admm = admm_solve(
-                G, B, C, P_diag, q, l, u, cfg.admm, z0=z_admm, y0=y_admm,
+                G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm, y0=y_admm,
                 box_idx=t.box_slots,
             )
             # A failed solve (NaN) must not poison the iterate: treat it as
