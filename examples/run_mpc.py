@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--admm-iters", type=int, default=100)
     ap.add_argument("--vx", type=float, default=0.2)
     ap.add_argument("--dump", default=None, help="write trajectory JSON here")
+    ap.add_argument("--viz", default=None,
+                    help="write a self-contained 3D replay HTML here")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +71,18 @@ def main():
         with open(args.dump, "w") as f:
             json.dump({"x": x.tolist(), "dt": mpc.dt_min}, f)
         print("Trajectory dumped to", args.dump)
+
+    if args.viz:
+        from tpu_locoman import viz
+
+        q_traj = x[:, : mpc.form.nq] if mpc.form.name != "centroidal_vel" \
+            else x[:, 6:]
+        scene = viz.dump_scene(
+            args.viz + ".json", mpc.form.model, q_traj, mpc.dt_min,
+            frame_names=tuple(mpc.form.foot_frames),
+        )
+        html = viz.write_player_html(args.viz, scene)
+        print("3D replay written to", html, "(open in a browser)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,78 @@
+"""Accurate-mode machinery: ADMM equality polish and the SQP corrector
+pass (toward the reference's Fatrop tolerance 1e-3, ocp.py:256-257)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_locoman import Go2, MPC, SQPConfig, ADMMConfig
+from tpu_locoman.solver.qp import ADMMConfig as QPCfg, admm_solve
+
+
+def _random_qp(seed=0, N=5, m=12, ndx=8, nu=5):
+    rng = np.random.default_rng(seed)
+    G = jnp.asarray(rng.normal(size=(N, m, ndx)) * 0.5, dtype=jnp.float32)
+    B = jnp.asarray(rng.normal(size=(N, m, nu)) * 0.5, dtype=jnp.float32)
+    C = jnp.asarray(rng.normal(size=(N, m, ndx)) * 0.5, dtype=jnp.float32)
+    P = jnp.asarray(rng.uniform(0.5, 2.0, size=(N + 1, ndx + nu)),
+                    dtype=jnp.float32)
+    q = jnp.asarray(rng.normal(size=(N + 1, ndx + nu)), dtype=jnp.float32)
+    # half equality rows, half loose inequalities
+    eq_rhs = jnp.asarray(rng.normal(size=(N, m // 2)) * 0.1,
+                         dtype=jnp.float32)
+    l = jnp.concatenate([eq_rhs, jnp.full((N, m - m // 2), -10.0)], axis=1)
+    u = jnp.concatenate([eq_rhs, jnp.full((N, m - m // 2), 10.0)], axis=1)
+    return G, B, C, P, q, l, u
+
+
+def _eq_residual(G, B, C, d, l, m_eq):
+    w = jnp.einsum("nms,ns->nm", jnp.concatenate([G, B], axis=2), d[:-1])
+    w = w + jnp.einsum(
+        "nms,ns->nm",
+        jnp.concatenate([C, jnp.zeros_like(B)], axis=2), d[1:],
+    )
+    return float(jnp.max(jnp.abs(w[:, :m_eq] - l[:, :m_eq])))
+
+
+def test_polish_tightens_equalities():
+    # Wiring check on a small random QP: the boosted-rho polish phase must
+    # sharply tighten equalities relative to stopping at the main phase,
+    # and must not corrupt the solution (flagship-level benefit is measured
+    # by tools/accuracy_probe.py, where small-QP f32 floors don't bind).
+    G, B, C, P, q, l, u = _random_qp()
+    m_eq = l.shape[1] // 2
+    base = QPCfg(iters=12)
+    d0, _, _ = admm_solve(G, B, C, P, q, l, u, base)
+    r0 = _eq_residual(G, B, C, d0, l, m_eq)
+
+    pol = QPCfg(iters=12, polish_iters=12, polish_boost=30.0)
+    d1, _, _ = admm_solve(G, B, C, P, q, l, u, pol)
+    r1 = _eq_residual(G, B, C, d1, l, m_eq)
+    assert np.all(np.isfinite(np.asarray(d1)))
+    assert r1 < 0.2 * r0, (r0, r1)
+    assert r1 < 1e-3, r1
+
+
+def _rollout(config, loops=25):
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    mpc = MPC(robot, dynamics="whole_body_rnea", nodes=5, config=config)
+    carry, outs = jax.jit(
+        lambda: mpc.run(loops, jnp.array([0.15, 0, 0, 0, 0, 0]))
+    )()
+    return np.asarray(outs["max_violation"]), np.asarray(outs["x"])
+
+
+def test_corrector_reduces_violation():
+    base = SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=15))
+    corr = SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=15),
+                     corrector_iters=6)
+    v0, x0 = _rollout(base)
+    v1, x1 = _rollout(corr)
+    assert np.all(np.isfinite(v1))
+    # rollout stays healthy (z near standing height)
+    assert abs(x1[-1, 2] - 0.35) < 0.05, x1[-1, :3]
+    # steady-state violation improves with the corrector
+    assert np.median(v1[5:]) < np.median(v0[5:]), (
+        np.median(v0[5:]), np.median(v1[5:])
+    )

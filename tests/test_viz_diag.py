@@ -51,3 +51,40 @@ def test_structure_check_and_report():
     assert np.isfinite(rep2.max_violation)
     assert "dyn:q_prop" in rep2.violation_by_group
     assert isinstance(rep2.pretty(), str)
+
+
+def test_scene_dump_and_player(tmp_path):
+    from tpu_locoman.viz import dump_scene, write_player_html
+
+    mpc = _mpc()
+    q0 = np.asarray(mpc.form.x_nom()[: mpc.form.nq])
+    q_traj = np.tile(q0, (4, 1))
+    scene = dump_scene(
+        str(tmp_path / "scene.json"), mpc.form.model, q_traj, 0.01,
+        frame_names=tuple(mpc.form.foot_frames),
+    )
+    import json
+
+    with open(scene) as f:
+        s = json.load(f)
+    n_pts = mpc.form.model.n_links + 4
+    assert np.asarray(s["points"]).shape == (4, n_pts, 3)
+    assert len(s["markers"]) == 4
+    # feet sit near the ground in the nominal pose
+    feet_z = np.asarray(s["points"])[0, s["markers"], 2]
+    assert np.all(np.abs(feet_z) < 0.1), feet_z
+
+    html = write_player_html(str(tmp_path / "replay.html"), scene)
+    text = open(html).read()
+    assert "SCENE" in text and '"points"' in text
+    assert os.path.getsize(html) > 3000
+
+
+def test_spy_plot(tmp_path):
+    from tpu_locoman.diagnostics import spy_plot
+
+    mpc = _mpc()
+    rep = spy_plot(mpc, str(tmp_path / "spy.png"))
+    assert os.path.getsize(rep["path"]) > 5000
+    # the default formulations respect the expected stage structure
+    assert rep["offending_entries"] == 0

@@ -37,6 +37,12 @@ def main():
     nodes = int(os.environ.get("PROBE_NODES", "14"))
     sched = os.environ.get("PROBE_SCHEDULE", "")
     schedule = tuple(int(x) for x in sched.split(",")) if sched else None
+    polish_iters = int(os.environ.get("PROBE_POLISH_ITERS", "0"))
+    polish_boost = float(os.environ.get("PROBE_POLISH_BOOST", "100"))
+    line_search = os.environ.get("PROBE_LS", "1") == "1"
+    corrector = int(os.environ.get("PROBE_CORRECTOR", "0"))
+    scaling = int(os.environ.get("PROBE_SCALING", "0"))
+    kkt = os.environ.get("PROBE_KKT", "0") == "1"
 
     robot = {"b2g": B2G, "go2": Go2}[os.environ.get("PROBE_ROBOT", "b2g")]()
     robot.set_gait_sequence("trot", 0.8)
@@ -46,24 +52,66 @@ def main():
         nodes=nodes,
         config=SQPConfig(
             sqp_iters=sqp_iters,
-            admm=ADMMConfig(iters=admm_iters, eq_boost=eq_boost, rho=rho),
+            admm=ADMMConfig(iters=admm_iters, eq_boost=eq_boost, rho=rho,
+                            polish_iters=polish_iters,
+                            polish_boost=polish_boost,
+                            scaling_iters=scaling),
             admm_schedule=schedule,
+            line_search=line_search,
+            corrector_iters=corrector,
+            kkt_polish=kkt,
         ),
     )
     base_vel_des = jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32)
     carry = mpc.init_carry()
     step = jax.jit(lambda c, t: mpc.step(c, t, base_vel_des))
     print(f"config: sqp={sqp_iters} admm={admm_iters} eq_boost={eq_boost} "
-          f"rho={rho} schedule={schedule} nodes={nodes}")
+          f"rho={rho} schedule={schedule} nodes={nodes} "
+          f"polish={polish_iters}x{polish_boost} ls={line_search} "
+          f"corrector={corrector} scaling={scaling} kkt={kkt}")
+    x_prev = carry.x_init
+    tau_prev_last = carry.tau_prev
     for k in range(ticks):
+        x_prev = carry.x_init
+        tau_prev_last = carry.tau_prev
         carry, stats = step(carry, jnp.float32(k * mpc.dt_min))
         mv = float(stats["max_violation"])
         print(f"tick {k}: max_violation {mv:.3e} alpha "
               f"{float(stats['alpha']):.3f} status {int(stats['status'])}")
-    rep = diagnostics.solve_report(
-        mpc, carry, jnp.float32(ticks * mpc.dt_min), base_vel_des, solve=False
-    )
-    print(rep.pretty())
+    # Report at the LAST solved tick's parameters (the carry's Z is the
+    # optimizer of that tick; evaluating at tick+1 would just show the
+    # warm-start shift residual). x_init must be the pre-advance state, so
+    # re-evaluate through the transcription directly.
+    t_last = jnp.float32((ticks - 1) * mpc.dt_min)
+    shared = mpc.make_shared(x_prev, base_vel_des, tau_prev=tau_prev_last)
+    sp = mpc.make_stage_params(t_last)
+    g = mpc.trans.evaluate(carry.solver_state.Z, sp, shared)
+    l, u = mpc.trans.bounds(sp, shared)
+    viol = np.asarray(jnp.maximum(0, l - g) + jnp.maximum(0, g - u))
+    groups = diagnostics.row_group_layout(mpc.trans)
+    print("violation by row group (last solved tick):")
+    for name, a, b in sorted(groups, key=lambda g_: -viol[:, g_[1]:g_[2]].max()
+                             if g_[2] > g_[1] else 0):
+        if b > a:
+            print(f"  {name:24s} {viol[:, a:b].max():.6f}")
+
+    save = os.environ.get("PROBE_SAVE")
+    if save:
+        # Save the solved iterate + tick parameters for the float64
+        # re-evaluation (tools/verify_f64.py): the f32 residual evaluation
+        # itself has a ~1e-3 noise floor on the RNEA rows, so the
+        # Fatrop-tolerance claim must be checked in f64.
+        np.savez(
+            save,
+            Z=np.asarray(carry.solver_state.Z),
+            x_init=np.asarray(x_prev),
+            tau_prev=np.asarray(tau_prev_last),
+            t=float(t_last),
+            base_vel_des=np.asarray(base_vel_des),
+            robot=os.environ.get("PROBE_ROBOT", "b2g"),
+            nodes=nodes,
+        )
+        print("iterate saved to", save)
 
 
 if __name__ == "__main__":

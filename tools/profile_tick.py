@@ -28,14 +28,16 @@ from tpu_locoman.solver.qp import admm_solve
 
 
 def timeit(fn, *args, iters=10, label=""):
+    tc = time.time()
     out = fn(*args)
     np.asarray(jax.device_get(jax.tree.leaves(out)[0]))  # compile barrier
+    compile_s = time.time() - tc
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
     np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
     dt = (time.time() - t0) / iters
-    print(f"{label:12s} {1000 * dt:8.2f} ms")
+    print(f"{label:12s} {1000 * dt:8.2f} ms   (compile {compile_s:6.1f} s)")
     return dt
 
 

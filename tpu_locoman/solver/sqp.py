@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .qp import ADMMConfig, admm_solve
+from .qp import ADMMConfig, admm_solve, kkt_polish, run_iters, _A_matvec
 
 
 class SQPConfig(NamedTuple):
@@ -24,6 +24,17 @@ class SQPConfig(NamedTuple):
     # second cheap corrector pass that knocks down gait-transition spikes
     # (CLAUDE.md roadmap item 4). None = admm.iters for every iteration.
     admm_schedule: tuple = None
+    # Corrector pass: after the line search, re-evaluate the residuals at
+    # the updated iterate and run this many extra ADMM sweeps REUSING the
+    # existing linearization and factorization (a second-order correction:
+    # fresh g, stale A). Much cheaper than a full second SQP iteration —
+    # costs ~2 residual evaluations + the sweeps. 0 = off.
+    corrector_iters: int = 0
+    # OSQP-style polish: after the ADMM pass, solve the active-set equality
+    # KKT exactly via a second block-tridiagonal factorization (qp.kkt_polish)
+    # so the linearized equalities are satisfied to f32 roundoff instead of
+    # the ADMM iteration floor. The accurate-mode backbone.
+    kkt_polish: bool = False
     line_search: bool = True
     # Line-search parameters (ocp.py:431-438).
     armijo_factor: float = 1e-4
@@ -152,10 +163,20 @@ class SQPSolver:
             q = t.objective_gradient(Z, obj)
             l = l_b - g
             u = u_b - g
-            d, z_admm, y_admm = admm_solve(
-                G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm, y0=y_admm,
-                box_idx=t.box_slots,
-            )
+            want_work = cfg.corrector_iters > 0 and it == cfg.sqp_iters - 1
+            if want_work:
+                (d, z_admm, y_admm), qp_work = admm_solve(
+                    G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm,
+                    y0=y_admm, box_idx=t.box_slots, return_work=True,
+                )
+            else:
+                d, z_admm, y_admm = admm_solve(
+                    G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm,
+                    y0=y_admm, box_idx=t.box_slots,
+                )
+            if cfg.kkt_polish:
+                with jax.default_matmul_precision(cfg.admm.precision):
+                    d = kkt_polish(G, B, C, P_diag, q, l, u, z_admm)
             # A failed solve (NaN) must not poison the iterate: treat it as
             # a zero step, like the reference's opti.debug fallback
             # (ocp.py:362-365).
@@ -175,6 +196,27 @@ class SQPSolver:
                     0.0, g_final - u_b
                 )
                 max_viol = jnp.max(viol)
+
+        if cfg.corrector_iters > 0:
+            # Second-order correction: fresh residuals at the stepped
+            # iterate against the SAME linearization/factorization, warm
+            # started from the main QP's ADMM state shifted by the taken
+            # step (alpha*d): x0 = (1-alpha)d, z0 = z - alpha*A d.
+            with jax.default_matmul_precision(cfg.admm.precision):
+                g2 = t.evaluate(Z, stage_params, shared)
+                q2 = t.objective_gradient(Z, obj)
+                Ad = _A_matvec(qp_work.A, qp_work.D, d, t.box_slots)
+                d2, z_admm, y_admm = run_iters(
+                    qp_work, q2, l_b - g2, u_b - g2, cfg.admm,
+                    (1.0 - alpha) * d, z_admm - alpha * Ad, y_admm,
+                    cfg.corrector_iters, box_idx=t.box_slots,
+                )
+            bad2 = jnp.any(jnp.isnan(d2))
+            d2 = jnp.where(bad2, jnp.zeros_like(d2), d2)
+            Z = Z + d2
+            g3 = t.evaluate(Z, stage_params, shared)
+            viol3 = jnp.maximum(0.0, l_b - g3) + jnp.maximum(0.0, g3 - u_b)
+            max_viol = jnp.max(viol3)
 
         # Solution status (the reference leaves this as a TODO, ocp.py:369):
         # 0 = ok, 1 = line search rejected every step, 2 = QP solve failed.
