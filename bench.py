@@ -88,6 +88,7 @@ def main():
     # relay). >= 30 samples so p99 means something (VERDICT weak #6).
     lat_samples = int(os.environ.get("BENCH_LATENCY_SAMPLES", "30"))
     lat_ms = []
+    viol_ticks = []
     for k in range(lat_samples):
         t0 = time.time()
         carries, stats = step(
@@ -95,7 +96,9 @@ def main():
         )
         np.asarray(jax.device_get(carries.x_init))
         lat_ms.append(1000 * (time.time() - t0))
+        viol_ticks.append(float(np.asarray(stats["max_violation"]).mean()))
     lat_ms = np.asarray(lat_ms)
+    viol_ticks = np.asarray(viol_ticks)
 
     n_dev = len(jax.devices())
     solves = batch * timed_ticks
@@ -122,9 +125,11 @@ def main():
             "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
             "devices": n_dev,
             "platform": jax.devices()[0].platform,
-            "max_violation_mean": float(
-                np.asarray(stats["max_violation"]).mean()
-            ),
+            # Mean over all latency-sample ticks AND scenarios — a single
+            # tick is unrepresentative (the rollout has recurring
+            # gait-transition spikes; see RESULTS.md).
+            "max_violation_mean": float(viol_ticks.mean()),
+            "max_violation_worst_tick": float(viol_ticks.max()),
         },
     }
     print(json.dumps(result))

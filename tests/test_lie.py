@@ -101,3 +101,34 @@ def test_freeflyer_integrate_pure_rotation_moves_in_body_frame(rng):
     q = jnp.concatenate([jnp.zeros(3), yaw])
     q1 = lie.freeflyer_integrate(q, jnp.array([1.0, 0, 0, 0, 0, 0]))
     np.testing.assert_allclose(q1[:3], jnp.array([0.0, 1.0, 0.0]), atol=1e-6)
+
+
+def test_se3_log_near_identity_f32_safe():
+    """Regression: a tiny (but nonzero) rotation — theta ~ 1e-4, well below
+    the f32 accuracy range of the exact (1-cos t)/t^2 expression — used to
+    produce -inf/NaN in se3_log's linear part (cos t rounds to 1.0 in f32,
+    so the V^{-1} coefficient divided by zero). Hit in practice by the MPC
+    at tick 2 of the accurate-mode config, where the projected iterate
+    leaves the base orientation ~1e-4 away from the tracking target."""
+    q0 = jnp.concatenate([
+        jnp.array([7.2e-05, 6.5e-05, 0.55]),
+        lie.quat_normalize(jnp.array([4.7e-06, -7.1e-05, 3.4e-05, 1.0])),
+    ])
+    q1 = jnp.concatenate([jnp.array([0.0, 0.0, 0.55]), lie.quat_identity()])
+    d = lie.freeflyer_difference(q0, q1)
+    assert np.all(np.isfinite(np.asarray(d))), d
+    # round trip to ~f32 accuracy
+    q1_rt = lie.freeflyer_integrate(q0, d)
+    np.testing.assert_allclose(q1_rt, q1, atol=1e-6)
+    # and the whole small-rotation sweep stays finite + consistent
+    for theta in [0.0, 1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 0.2]:
+        dq = jnp.asarray(
+            np.array([0.1, -0.2, 0.3, theta, theta / 2, -theta]) if theta
+            else np.array([0.1, -0.2, 0.3, 0.0, 0.0, 0.0]),
+            dtype=jnp.float32,
+        )
+        qa = jnp.concatenate([jnp.zeros(3), lie.quat_identity()])
+        qb = lie.freeflyer_integrate(qa, dq)
+        d2 = lie.freeflyer_difference(qa, qb)
+        assert np.all(np.isfinite(np.asarray(d2)))
+        np.testing.assert_allclose(d2, dq, atol=5e-6)

@@ -43,6 +43,7 @@ def main():
     corrector = int(os.environ.get("PROBE_CORRECTOR", "0"))
     scaling = int(os.environ.get("PROBE_SCALING", "0"))
     kkt = os.environ.get("PROBE_KKT", "0") == "1"
+    eqproj = int(os.environ.get("PROBE_EQPROJ", "0"))
 
     robot = {"b2g": B2G, "go2": Go2}[os.environ.get("PROBE_ROBOT", "b2g")]()
     robot.set_gait_sequence("trot", 0.8)
@@ -60,6 +61,7 @@ def main():
             line_search=line_search,
             corrector_iters=corrector,
             kkt_polish=kkt,
+            eq_projection=eqproj,
         ),
     )
     base_vel_des = jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32)
@@ -68,7 +70,8 @@ def main():
     print(f"config: sqp={sqp_iters} admm={admm_iters} eq_boost={eq_boost} "
           f"rho={rho} schedule={schedule} nodes={nodes} "
           f"polish={polish_iters}x{polish_boost} ls={line_search} "
-          f"corrector={corrector} scaling={scaling} kkt={kkt}")
+          f"corrector={corrector} scaling={scaling} kkt={kkt} "
+          f"eqproj={eqproj}")
     x_prev = carry.x_init
     tau_prev_last = carry.tau_prev
     for k in range(ticks):

@@ -40,6 +40,7 @@ def main():
         initialize,
         host_chip_mesh,
         local_batch_slice,
+        warmup_collectives,
     )
 
     ok = initialize(
@@ -61,6 +62,10 @@ def main():
 
     mesh = host_chip_mesh()
     assert mesh.devices.shape == (args.nproc, 2)
+    # Rendezvous the Gloo clique NOW, while both processes are at the same
+    # line — the MPC compile below can skew them past the 30 s transport
+    # deadline otherwise (see distributed.warmup_collectives).
+    warmup_collectives(mesh)
 
     robot = Go2()
     robot.set_gait_sequence("trot", 0.5)

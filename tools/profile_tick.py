@@ -11,7 +11,11 @@ reliable barrier over the axon relay — CLAUDE.md).
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import jax
 
@@ -45,6 +49,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     nodes = int(os.environ.get("BENCH_NODES", "14"))
     admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "10"))
+    factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
+    matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -52,7 +58,9 @@ def main():
         robot,
         dynamics=os.environ.get("BENCH_DYNAMICS", "whole_body_rnea"),
         nodes=nodes,
-        config=SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=admm_iters)),
+        config=SQPConfig(sqp_iters=1, admm=ADMMConfig(
+            iters=admm_iters, factorizer=factorizer,
+            matvec_dtype=matvec_dtype)),
     )
     trans = mpc.trans
     solver = mpc.solver
@@ -132,7 +140,17 @@ def main():
 
     fac_b = jax.jit(jax.vmap(fac_only, in_axes=(0,) * 7))
 
-    print(f"batch={batch} nodes={nodes} admm_iters={admm_iters}")
+    # Per-iteration slope: admm at 2x the iteration count.
+    cfg2 = cfg._replace(iters=2 * cfg.iters)
+
+    def admm_2x(G, B, C, P_diag, q, l, u):
+        return admm_solve(G, B, C, P_diag, q, l, u, cfg2,
+                          box_idx=trans.box_slots)
+
+    admm_2x_b = jax.jit(jax.vmap(admm_2x, in_axes=(0,) * 7))
+
+    print(f"batch={batch} nodes={nodes} admm_iters={admm_iters} "
+          f"factorizer={cfg.factorizer} matvec={cfg.matvec_dtype}")
     timeit(eval_b, carries, targets, label="evaluate")
     if trans.split_ok:
         timeit(lin_b, carries, targets, label="lin_split")
@@ -145,6 +163,7 @@ def main():
     timeit(merit_b, carries, targets, label="line_search")
     timeit(fac_b, G, B, C, P_diag, q, l, u, label="assemble+fac")
     timeit(admm_b, G, B, C, P_diag, q, l, u, label="admm_total")
+    timeit(admm_2x_b, G, B, C, P_diag, q, l, u, label="admm_2x")
     timeit(step, carries, t, targets, label="full_tick")
 
 

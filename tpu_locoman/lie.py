@@ -18,7 +18,14 @@ the identity via Taylor-series branches), and vmap-friendly.
 
 import jax.numpy as jnp
 
-_EPS = 1e-8
+# Small-angle branch threshold on theta^2. Must be LARGE in f32: the exact
+# expressions cancel catastrophically near zero — (1 - cos t)/t^2 computes
+# as exactly 0 for t^2 < ~1e-7 (cos t rounds to 1.0), which turned
+# se3_log's V^{-1} coefficient into -inf/NaN on near-identity transforms.
+# At t^2 = 1e-2 the 2-term Taylor branches are accurate to ~3e-7 relative
+# (better than the exact branch's ~1e-5 cancellation error there), so the
+# crossover sits where BOTH are good.
+_EPS = 1e-2
 
 
 # ---------------------------------------------------------------------------

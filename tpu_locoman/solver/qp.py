@@ -54,18 +54,25 @@ class ADMMConfig(NamedTuple):
 
 
 class BlockTridiagFactor(NamedTuple):
-    """Cholesky factor of the block-tridiagonal M: per-stage lower blocks
-    L_i, sub-diagonal factors F_i = L_i^{-1} U_i, and the explicit inverses
-    Linv_i.
+    """Cholesky factor of the block-tridiagonal M, stored in a
+    solve-optimized form.
 
-    Linv is precomputed once per factorization so that the many ADMM
-    back-substitutions become batched GEMMs on the MXU instead of
-    sequential triangular solves (XLA lowers trsm to an O(s) sweep, which
-    serialized the hot loop)."""
+    Linv_i is the explicit inverse of the stage Cholesky block (so ADMM
+    back-substitutions are batched GEMMs on the MXU instead of sequential
+    triangular solves), and the scan couplings are pre-multiplied:
 
-    L: jnp.ndarray  # (N+1, s, s)
-    F: jnp.ndarray  # (N, s, s)
+        W_i = Linv_i @ F_{i-1}^T   (W_0 = 0),   F_i = Linv_i @ U_i
+        V_i = Linv_i^T @ F_i       (V_N = 0)
+
+    so each forward/backward scan step of solve_factorized is ONE matvec
+    (y_i = (Linv b)_i - W_i y_{i-1}; x_i = (Linv^T y)_i - V_i x_{i+1})
+    with the Linv applications hoisted OUT of the scans as node-parallel
+    batched GEMMs — the sequential critical path is half as long as the
+    textbook two-matvec form."""
+
     Linv: jnp.ndarray  # (N+1, s, s)
+    W: jnp.ndarray  # (N+1, s, s), W_0 = 0
+    V: jnp.ndarray  # (N+1, s, s), V_N = 0
 
 
 def _tri_solve(L, b, lower=True, trans=False):
@@ -146,6 +153,40 @@ def tri_inverse_lower(L, nb=3, depth=1):
     return Linv[:s, :s] if pad else Linv
 
 
+def chol_blocked(S, panels=3):
+    """Right-looking blocked Cholesky — bandwidth-shaped for TPU.
+
+    XLA's native cholesky is UNBLOCKED: every column step re-reads the
+    whole trailing matrix, so a (512, 105, 105) batch moves ~105 x 22.6 MB
+    = 2.4 GB of HBM traffic (measured 7.7 ms — pure bandwidth). Panel
+    factorization moves the trailing matrix only once per PANEL and does
+    the updates as MXU GEMMs: `panels` small cholesky calls plus
+    O(panels) GEMM sweeps (~35x less traffic at panels=3, s=105).
+    """
+    s = S.shape[-1]
+    if s <= 48:  # small blocks: XLA's loop is fine
+        return jnp.linalg.cholesky(S)
+    b = -(-s // panels)  # ceil
+    starts = list(range(0, s, b))
+    cols = []  # per-panel full-height column blocks of L
+    T = S  # trailing matrix, shrinks by b rows/cols per panel
+    for j, st in enumerate(starts):
+        bj = min(b, s - st)
+        L11 = jnp.linalg.cholesky(T[..., :bj, :bj])
+        L21 = jnp.einsum(
+            "...ij,...kj->...ik",
+            T[..., bj:, :bj],
+            tri_inverse_lower(L11) if bj > 16 else
+            _tri_solve(L11, jnp.eye(bj, dtype=S.dtype)),
+        )
+        col = jnp.concatenate([L11, L21], axis=-2)  # (s - st, bj)
+        if st:
+            col = jnp.pad(col, [(0, 0)] * (S.ndim - 2) + [(st, 0), (0, 0)])
+        cols.append(col)
+        T = T[..., bj:, bj:] - jnp.einsum("...ij,...kj->...ik", L21, L21)
+    return jnp.concatenate(cols, axis=-1)
+
+
 def factorize(H, U):
     """Blocked Cholesky of the tridiagonal M via lax.scan.
 
@@ -160,7 +201,7 @@ def factorize(H, U):
         S = H_i - prev_F.T @ prev_F
         # f32 jitter: keeps the Schur complements SPD under roundoff
         S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
-        L_i = jnp.linalg.cholesky(S)
+        L_i = chol_blocked(S)
         Linv_i = tri_inverse_lower(L_i)
         F_i = Linv_i @ U_i
         return F_i, (L_i, Linv_i, F_i)
@@ -169,7 +210,15 @@ def factorize(H, U):
     _, (L, Linv, F) = lax.scan(
         step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad)
     )
-    return BlockTridiagFactor(L=L, F=F[:-1], Linv=Linv)
+    # Pre-multiplied scan couplings (see BlockTridiagFactor): node-parallel
+    # GEMMs here buy one-matvec scan steps in every subsequent solve.
+    F_prev = jnp.concatenate(
+        [jnp.zeros((1, s, s), dtype=H.dtype), F[:-1]], axis=0
+    )
+    W = jnp.einsum("nij,nkj->nik", Linv, F_prev)
+    # F's last entry is Linv_N @ 0 = 0, so V_N = 0 falls out for free.
+    V = jnp.einsum("nji,njk->nik", Linv, F)
+    return BlockTridiagFactor(Linv=Linv, W=W, V=V)
 
 
 # ---------------------------------------------------------------------------
@@ -280,27 +329,28 @@ def solve_cyclic(fac: CyclicFactor, b):
 def solve_factorized(fac: BlockTridiagFactor, b):
     """Solve M x = b given the blocked factor; b is (N+1, s).
 
-    Uses the precomputed Linv so every scan step is a GEMM (batched over
-    scenarios under vmap) rather than a sequential triangular solve."""
-    F, Linv = fac.F, fac.Linv
+    The Linv applications are node-parallel batched GEMMs hoisted out of
+    the scans; each sequential scan step is a single matvec against the
+    pre-multiplied W/V couplings — half the critical-path work of the
+    textbook back-substitution (and no triangular solves anywhere)."""
     s = b.shape[1]
-    Fp = jnp.concatenate([jnp.zeros((1, s, s), dtype=b.dtype), F], axis=0)
+    Pb = jnp.einsum("nij,nj->ni", fac.Linv, b)
 
     def fwd(y_prev, inp):
-        Linv_i, F_im1, b_i = inp
-        y_i = Linv_i @ (b_i - F_im1.T @ y_prev)
+        W_i, pb_i = inp
+        y_i = pb_i - W_i @ y_prev
         return y_i, y_i
 
-    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=b.dtype), (Linv, Fp, b))
+    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=b.dtype), (fac.W, Pb))
 
-    Fn = jnp.concatenate([F, jnp.zeros((1, s, s), dtype=b.dtype)], axis=0)
+    T = jnp.einsum("nji,nj->ni", fac.Linv, Y)
 
     def bwd(x_next, inp):
-        Linv_i, F_i, y_i = inp
-        x_i = Linv_i.T @ (y_i - F_i @ x_next)
+        V_i, t_i = inp
+        x_i = t_i - V_i @ x_next
         return x_i, x_i
 
-    _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (Linv, Fn, Y), reverse=True)
+    _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (fac.V, T), reverse=True)
     return X
 
 
@@ -446,6 +496,86 @@ def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
     Atl = Atl.at[:-1].add(jnp.einsum("nms,nm->ns", A, lam))
     Atl = Atl.at[1:].add(jnp.einsum("nms,nm->ns", D, lam))
     return -Pinv * (q + Atl)
+
+
+def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
+               refine=2):
+    """Minimum-norm correction zeroing the masked (equality) rows.
+
+        delta_z = argmin 1/2 d^T Mw d   s.t.   (A d)_row = resid_row  (W=1)
+
+    Unlike `kkt_polish` this does NOT re-solve the whole QP on a guessed
+    active set — it projects the CURRENT iterate onto the linearized
+    equality manifold, leaving the ADMM's inequality handling intact (in
+    steady gait the inequalities are strictly inactive; see the
+    accuracy_probe row-group reports). This is the accurate-mode closer:
+    the ADMM primal-residual tail on the heavy RNEA equality rows is
+    removed by one constraint-space block-tridiagonal solve.
+
+    Conditioning (measured on B2G rnea N=5): the exact-P metric gives the
+    Schur complement S = A P^-1 A^T condition 1.4e15 — unsolvable in f32
+    (the f32 residual EXCEEDS |r|). Three changes make the f32 solve exact
+    to ~1e-5 relative:
+      * clamp the metric inverse to a 1e4 spread around its median
+        (cond 7e8 -> 1.6e5),
+      * row-normalize the masked rows (inf-norm 1) before forming S,
+      * 2 rounds of iterative refinement reusing the factorization.
+
+    W: (N, m) 0/1 mask of rows to enforce (equality rows with nonzero
+    Jacobian). resid: (N, m) desired row values (ignored where W=0).
+    Returns delta (N+1, s).
+    """
+    N, m, ndx = G.shape
+    s = P_diag.shape[1]
+    Pinv = 1.0 / (P_diag + sigma)  # (N+1, s)
+    med = jnp.median(Pinv)
+    Pinv = jnp.clip(Pinv, med * 1e-2, med * 1e2)
+
+    A = jnp.concatenate([G, B], axis=2) * W[:, :, None]  # (N, m, s)
+    D = jnp.concatenate(
+        [C, jnp.zeros((N, m, s - ndx), dtype=C.dtype)], axis=2
+    ) * W[:, :, None]
+    rn = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(A), axis=2), jnp.max(jnp.abs(D), axis=2)),
+        1e-8,
+    )
+    A = A / rn[:, :, None]
+    D = D / rn[:, :, None]
+    rhs = (W * resid) / rn
+
+    APi = A * Pinv[:-1, None, :]
+    DPi = D * Pinv[1:, None, :]
+    S_diag = (
+        jnp.einsum("nms,nks->nmk", APi, A)
+        + jnp.einsum("nms,nks->nmk", DPi, D)
+    )
+    # masked rows become the trivial equation lambda = 0
+    S_diag = S_diag + jax.vmap(jnp.diag)(delta + (1.0 - W))
+    S_off = jnp.einsum("nms,nks->nmk", DPi[:-1], A[1:])
+
+    # Symmetric Jacobi equilibration (diag -> 1) for the f32 Cholesky.
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(S_diag), 1e-12))
+    S_diag = S_diag * dscale[:, :, None] * dscale[:, None, :]
+    S_off = S_off * dscale[:-1, :, None] * dscale[1:, None, :]
+    rhs = rhs * dscale
+
+    def S_matvec(lam):
+        out = jnp.einsum("nmk,nk->nm", S_diag, lam)
+        out = out.at[:-1].add(jnp.einsum("nmk,nk->nm", S_off, lam[1:]))
+        out = out.at[1:].add(jnp.einsum("nmk,nm->nk", S_off, lam[:-1]))
+        return out
+
+    fac = factorize(S_diag, S_off)
+    lam = solve_factorized(fac, rhs)
+    for _ in range(refine):
+        lam = lam + solve_factorized(fac, rhs - S_matvec(lam))
+    lam = lam * dscale
+
+    # delta = Pinv A^T lam  (sign: A Pinv A^T lam = r  =>  A delta = r)
+    Atl = jnp.zeros((N + 1, s), dtype=resid.dtype)
+    Atl = Atl.at[:-1].add(jnp.einsum("nms,nm->ns", A, lam))
+    Atl = Atl.at[1:].add(jnp.einsum("nms,nm->ns", D, lam))
+    return Pinv * Atl
 
 
 def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,

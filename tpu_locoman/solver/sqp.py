@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .qp import ADMMConfig, admm_solve, kkt_polish, run_iters, _A_matvec
+from .qp import (ADMMConfig, admm_solve, eq_project, kkt_polish, run_iters,
+                 _A_matvec)
 
 
 class SQPConfig(NamedTuple):
@@ -35,6 +36,13 @@ class SQPConfig(NamedTuple):
     # so the linearized equalities are satisfied to f32 roundoff instead of
     # the ADMM iteration floor. The accurate-mode backbone.
     kkt_polish: bool = False
+    # Equality-projection passes (accurate mode): after the line search /
+    # corrector, Newton-project the iterate onto the linearized equality
+    # manifold (qp.eq_project) — removes the ADMM primal-residual tail on
+    # the heavy equality rows exactly (one constraint-space factorization
+    # per pass) without touching the inequality handling. Each pass is
+    # guarded: an iterate is kept only if its true violation improves.
+    eq_projection: int = 0
     line_search: bool = True
     # Line-search parameters (ocp.py:431-438).
     armijo_factor: float = 1e-4
@@ -155,47 +163,79 @@ class SQPSolver:
         z_admm, y_admm = state.z_admm, state.y_admm
         alpha = jnp.zeros((), Z.dtype)
 
-        for it in range(cfg.sqp_iters):
-            admm_cfg = cfg.admm
-            if cfg.admm_schedule is not None:
-                admm_cfg = admm_cfg._replace(iters=cfg.admm_schedule[it])
+        def one_iteration(Z, z_admm, y_admm, admm_cfg, want_work):
+            """One full SQP iteration: linearize -> ADMM QP -> line search.
+
+            Returns (Z, z_admm, y_admm, alpha, max_viol, bad, d, qp_work)
+            with qp_work None unless want_work."""
             g, G, B, C = t.linearize(Z, stage_params, shared)
             q = t.objective_gradient(Z, obj)
             l = l_b - g
             u = u_b - g
-            want_work = cfg.corrector_iters > 0 and it == cfg.sqp_iters - 1
+            qp_work = None
             if want_work:
-                (d, z_admm, y_admm), qp_work = admm_solve(
+                (d, z_new, y_new), qp_work = admm_solve(
                     G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm,
                     y0=y_admm, box_idx=t.box_slots, return_work=True,
                 )
             else:
-                d, z_admm, y_admm = admm_solve(
+                d, z_new, y_new = admm_solve(
                     G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm,
                     y0=y_admm, box_idx=t.box_slots,
                 )
             if cfg.kkt_polish:
                 with jax.default_matmul_precision(cfg.admm.precision):
-                    d = kkt_polish(G, B, C, P_diag, q, l, u, z_admm)
+                    d = kkt_polish(G, B, C, P_diag, q, l, u, z_new)
             # A failed solve (NaN) must not poison the iterate: treat it as
             # a zero step, like the reference's opti.debug fallback
             # (ocp.py:362-365).
             bad = jnp.any(jnp.isnan(d))
             d = jnp.where(bad, jnp.zeros_like(d), d)
-            z_admm = jnp.where(bad, jnp.zeros_like(z_admm), z_admm)
-            y_admm = jnp.where(bad, jnp.zeros_like(y_admm), y_admm)
+            z_new = jnp.where(bad, jnp.zeros_like(z_new), z_new)
+            y_new = jnp.where(bad, jnp.zeros_like(y_new), y_new)
             if cfg.line_search:
-                Z, alpha, max_viol = self._line_search(
+                Z_new, alpha, max_viol = self._line_search(
                     Z, d, obj, stage_params, shared, l_b, u_b, g
                 )
             else:
-                Z = Z + d
+                Z_new = Z + d
                 alpha = jnp.ones((), Z.dtype)
-                g_final = t.evaluate(Z, stage_params, shared)
+                g_final = t.evaluate(Z_new, stage_params, shared)
                 viol = jnp.maximum(0.0, l_b - g_final) + jnp.maximum(
                     0.0, g_final - u_b
                 )
                 max_viol = jnp.max(viol)
+            return Z_new, z_new, y_new, alpha, max_viol, bad, d, qp_work
+
+        # Identical leading iterations run as a lax.scan so the (large:
+        # linearize + factorize + ADMM) body is traced and COMPILED ONCE —
+        # python-unrolling 6 SQP iterations used to produce XLA programs
+        # big enough to OOM LLVM on the CPU backend (CLAUDE.md). The final
+        # iteration stays unrolled: it may return the QP work for the
+        # corrector pass and feeds alpha/max_viol into the stats.
+        n_scan = 0
+        if cfg.admm_schedule is None and cfg.sqp_iters >= 3:
+            n_scan = cfg.sqp_iters - 1
+
+            def scan_body(carry, _):
+                Z, z_admm, y_admm = carry
+                Z, z_admm, y_admm, *_ = one_iteration(
+                    Z, z_admm, y_admm, cfg.admm, False
+                )
+                return (Z, z_admm, y_admm), None
+
+            (Z, z_admm, y_admm), _ = lax.scan(
+                scan_body, (Z, z_admm, y_admm), None, length=n_scan
+            )
+
+        for it in range(n_scan, cfg.sqp_iters):
+            admm_cfg = cfg.admm
+            if cfg.admm_schedule is not None:
+                admm_cfg = admm_cfg._replace(iters=cfg.admm_schedule[it])
+            want_work = cfg.corrector_iters > 0 and it == cfg.sqp_iters - 1
+            Z, z_admm, y_admm, alpha, max_viol, bad, d, qp_work = (
+                one_iteration(Z, z_admm, y_admm, admm_cfg, want_work)
+            )
 
         if cfg.corrector_iters > 0:
             # Second-order correction: fresh residuals at the stepped
@@ -217,6 +257,57 @@ class SQPSolver:
             g3 = t.evaluate(Z, stage_params, shared)
             viol3 = jnp.maximum(0.0, l_b - g3) + jnp.maximum(0.0, g3 - u_b)
             max_viol = jnp.max(viol3)
+
+        if cfg.eq_projection > 0:
+            # Accurate-mode closer: Gauss-Newton projection onto the
+            # equality manifold. Each pass RE-LINEARIZES at the current
+            # iterate (fresh A — the rnea rows are nonlinear enough that a
+            # stale-Jacobian projection stalls around 1e-2) and solves the
+            # minimum-P-norm correction zeroing the equality rows. The
+            # inequalities stay with the ADMM (strictly inactive in steady
+            # gait).
+            #
+            # The iteration runs UNGUARDED and only the final result is
+            # safeguarded (best-so-far): the first pass routinely
+            # overshoots on rnea curvature (5.7e-3 -> 1.4e-2 measured on
+            # B2G N=5) before the second pass lands at ~1e-4 — a per-pass
+            # guard freezes the iterate and stalls the whole loop at the
+            # ADMM floor. The passes run as a lax.scan so the (linearize +
+            # factorize) body compiles once regardless of the pass count.
+            with jax.default_matmul_precision("highest"):
+                md = t.m_dense
+                eq_rows = (u_b[:, :md] - l_b[:, :md]) < 1e-7
+
+                def proj_body(carry, _):
+                    Z, best_Z, best_viol = carry
+                    g_now, Gf, Bf, Cf = t.linearize(Z, stage_params, shared)
+                    row_norm = jnp.maximum(
+                        jnp.max(jnp.abs(Gf), axis=2),
+                        jnp.maximum(jnp.max(jnp.abs(Bf), axis=2),
+                                    jnp.max(jnp.abs(Cf), axis=2)),
+                    )
+                    W = (eq_rows & (row_norm > 1e-8)).astype(Z.dtype)
+                    r = l_b[:, :md] - g_now[:, :md]
+                    dlt = eq_project(Gf, Bf, Cf, P_diag, r, W)
+                    Z = Z + dlt
+                    g_try = t.evaluate(Z, stage_params, shared)
+                    viol_try = jnp.max(
+                        jnp.maximum(0.0, l_b - g_try)
+                        + jnp.maximum(0.0, g_try - u_b)
+                    )
+                    finite = jnp.isfinite(viol_try)
+                    better = finite & (viol_try <= best_viol)
+                    best_Z = jnp.where(better, Z, best_Z)
+                    best_viol = jnp.where(better, viol_try, best_viol)
+                    # a NaN step must not poison the next pass either
+                    Z = jnp.where(finite, Z, best_Z)
+                    return (Z, best_Z, best_viol), None
+
+                (Z, best_Z, best_viol), _ = lax.scan(
+                    proj_body, (Z, Z, max_viol), None,
+                    length=cfg.eq_projection,
+                )
+                Z, max_viol = best_Z, best_viol
 
         # Solution status (the reference leaves this as a TODO, ocp.py:369):
         # 0 = ok, 1 = line search rejected every step, 2 = QP solve failed.
