@@ -44,6 +44,9 @@ def main():
     matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
     dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
     donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    ls_trials = int(os.environ.get("BENCH_LS_TRIALS", "8"))
+    line_search = os.environ.get("BENCH_LINE_SEARCH", "1") == "1"
+    corrector = int(os.environ.get("BENCH_CORRECTOR", "0"))
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -53,6 +56,9 @@ def main():
         nodes=nodes,
         config=SQPConfig(
             sqp_iters=sqp_iters,
+            n_trials=ls_trials,
+            line_search=line_search,
+            corrector_iters=corrector,
             admm=ADMMConfig(iters=admm_iters, precision=qp_precision,
                             factorizer=factorizer,
                             matvec_dtype=matvec_dtype),

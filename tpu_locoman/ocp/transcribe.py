@@ -127,6 +127,15 @@ class Transcription:
             self.fric_cols = f0 + 3 * np.arange(nf4, dtype=np.int32) + 2
             self.cone_cols = f0 + np.arange(3 * nf4, dtype=np.int32)
 
+            # vjp pullback bases: rows of I selecting which outputs of the
+            # shared-forward functions get a backward pass.
+            self._basis_dyn = np.eye(self.n_dyn, dtype=np.float32)[
+                self.dyn_nl_rows
+            ]
+            self._n_vel = len(vel_rows)
+            n_vb = self._n_vel + self.n_box
+            self._basis_vel = np.eye(n_vb, dtype=np.float32)[: self._n_vel]
+
     # ------------------------------------------------------------------
     def stage_residual(self, dx, u, dx_next, sp: StageParams,
                        shared: SharedParams):
@@ -235,19 +244,22 @@ class Transcription:
         )(DX[:-1], U, DX[1:], stage_params)
 
     # -- split-linearize helpers ---------------------------------------
-    def _nl_dyn_fn(self, dx, u, sp, shared):
-        """The AD-requiring dynamics rows only (RNEA / ABA / centroidal
-        gaps), as a standalone traced function so jacrev's backward pass
-        contains nothing else."""
+    def _dyn_fn(self, dx, u, sp, shared):
+        """All dynamics rows at dx_next = 0 (the dx_next block is the
+        constant pattern C, added back analytically). One vjp of this
+        yields the row VALUES (reused for g) plus pullbacks for the
+        nonlinear rows."""
         dxm = dx * sp.node0_mask
-        r = self.form.dyn_residual(
+        return self.form.dyn_residual(
             shared.x_init, dxm, u, jnp.zeros(self.ndx), sp
         )
-        return r[self.dyn_nl_rows]
 
-    def _nl_vel_fn(self, dx, u, sp, shared):
-        """The frame-velocity rows (contact xy, blended z, arm EE), masked
-        exactly as in stage_residual."""
+    def _vel_box_fn(self, dx, u, sp, shared):
+        """Frame-velocity rows (contact xy, UNBLENDED z, arm EE — blend/
+        target constants are added back analytically) followed by the box
+        row values (q_j, v_j[, tau_j]), sharing one decode + one chain
+        pass. The box rows ride along for their VALUES only — their
+        Jacobians are exact selectors handled by the QP's box mode."""
         from .. import rbda
 
         form = self.form
@@ -269,6 +281,10 @@ class Transcription:
                 relative_to_base=True, base_frame=form.base_frame,
             )
             rows.append(sp.state_mask * vel[:3])
+        rows.append(d["q"][form.model.base_nq:])
+        rows.append(d["v"][6:])
+        if self.has_tau:
+            rows.append(d["tau_j"])
         return jnp.concatenate(rows)
 
     def _cone_jac(self, u, sp):
@@ -304,29 +320,75 @@ class Transcription:
         return J
 
     def _linearize_split(self, Z, stage_params, shared):
+        """Split path: residual values AND Jacobians from two vjp forwards.
+
+        Each AD-requiring row group runs through jax.vjp so its forward
+        pass is computed ONCE and reused for the g values (jacrev +
+        stage_residual would run the RNEA/FK forwards three times); every
+        other row's value is a cheap closed form assembled here
+        (stage_residual row order: dyn, swing force, contact xy, blended
+        z, ext force, arm EE, friction normal, cone, q/v/tau boxes)."""
         DX = Z[:, : self.ndx]
         U = Z[:-1, self.ndx:]
-        C_pat = self.form.dx_next_pattern()
+        form = self.form
+        nf = form.n_feet
+        C_pat = np.asarray(form.dx_next_pattern(), dtype=np.float32)
         C_full = np.zeros((self.m_dense, self.ndx), dtype=np.float32)
-        C_full[: self.form.n_dyn] = C_pat
+        C_full[: form.n_dyn] = C_pat
+        basis_d = jnp.asarray(self._basis_dyn)
+        basis_v = jnp.asarray(self._basis_vel)
+        n_vel = self._n_vel
 
         def one(dx, u_, dxn, sp):
-            g = self.stage_residual(dx, u_, dxn, sp, shared)
-            Jd_dx, Jd_u = jax.jacrev(
-                lambda a, b: self._nl_dyn_fn(a, b, sp, shared),
-                argnums=(0, 1),
-            )(dx, u_)
-            Jv_dx, Jv_u = jax.jacrev(
-                lambda a, b: self._nl_vel_fn(a, b, sp, shared),
-                argnums=(0, 1),
-            )(dx, u_)
+            dyn0, pull_d = jax.vjp(
+                lambda a, b: self._dyn_fn(a, b, sp, shared), dx, u_
+            )
+            g_dyn = dyn0 + jnp.asarray(C_pat) @ dxn
+            Jd = jax.vmap(lambda ct: jnp.concatenate(pull_d(ct)))(basis_d)
+
+            vb0, pull_v = jax.vjp(
+                lambda a, b: self._vel_box_fn(a, b, sp, shared), dx, u_
+            )
+            Jv = jax.vmap(lambda ct: jnp.concatenate(pull_v(ct)))(basis_v)
+
+            # Closed-form row values (forces are u slots: decode reads
+            # forces = u[f_idx:] in every formulation).
+            c = sp.contact[:nf]
+            sm = sp.state_mask
+            f = u_[form.f_idx: form.f_idx + 3 * nf].reshape(nf, 3)
+            swing = (jnp.repeat(1.0 - c, 3) * f.reshape(-1))
+            fric = c * f[:, 2]
+            cone = c * (
+                self.mu**2 * f[:, 2] ** 2 - f[:, 0] ** 2 - f[:, 1] ** 2
+            )
+            vzd = jax.vmap(
+                lambda sw: get_spline_vel_z(
+                    sw,
+                    swing_period=shared.swing_period,
+                    h_max=shared.swing_height,
+                    v_liftoff=shared.swing_vel_limits[0],
+                    v_touchdown=shared.swing_vel_limits[1],
+                )
+            )(sp.swing[:nf])
+            rows = [
+                g_dyn,
+                swing,
+                vb0[: 2 * nf],  # contact xy (already masked)
+                vb0[2 * nf: 3 * nf] - sm * (1.0 - c) * vzd,  # blended z
+            ]
+            if self.has_ext:
+                rows.append(
+                    u_[form.f_idx + 3 * nf: form.f_idx + 3 * nf + 3]
+                    - shared.ext_force_des
+                )
+            if self.has_arm:
+                rows.append(vb0[3 * nf: 3 * nf + 3] - sm * shared.arm_vel_des)
+            rows += [fric, cone, vb0[n_vel:]]
+            g = jnp.concatenate(rows)
+
             GB = self._lin_jacobian(sp)
-            GB = GB.at[self.dyn_nl_rows].set(
-                jnp.concatenate([Jd_dx, Jd_u], axis=1)
-            )
-            GB = GB.at[self.vel_rows].set(
-                jnp.concatenate([Jv_dx, Jv_u], axis=1)
-            )
+            GB = GB.at[self.dyn_nl_rows].set(Jd)
+            GB = GB.at[self.vel_rows].set(Jv)
             GB = GB.at[self.cone_rows].set(self._cone_jac(u_, sp))
             return g, GB
 

@@ -39,8 +39,11 @@ class ADMMConfig(NamedTuple):
     # (6-pass bf16 on TPU); "BF16_BF16_F32_X3" halves the pass count at
     # ~1e-6 relative error, usually indistinguishable at ADMM tolerances.
     precision: str = "highest"
-    # "sequential" blocked Cholesky (depth N+1) or "cyclic" block cyclic
-    # reduction (depth log2(N+1), parallel-Riccati style).
+    # "sequential" blocked Cholesky (depth N+1), "cyclic" block cyclic
+    # reduction (depth log2(N+1), parallel-Riccati style), or "pallas"
+    # (the sequential recurrence as ONE TPU kernel per scenario, VMEM-
+    # resident — solver/pallas_fac.py; falls back to the interpreter off
+    # TPU).
     factorizer: str = "sequential"
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
@@ -153,6 +156,84 @@ def tri_inverse_lower(L, nb=3, depth=1):
     return Linv[:s, :s] if pad else Linv
 
 
+def _chol_base_unrolled(S):
+    """Cholesky of a small (..., s, s) SPD block with NO control flow.
+
+    XLA lowers jnp.linalg.cholesky to a While loop over columns; on TPU
+    each loop iteration is a serialized kernel dispatch, so a batched
+    35x35 cholesky costs ~35 sequential steps of mostly launch latency.
+    For small s the right-looking outer-product recurrence unrolls into a
+    chain of fused elementwise ops instead. Returns (L, dinv) with
+    dinv = 1/diag(L) (the inverse assembly wants it anyway)."""
+    s = S.shape[-1]
+    bdims = S.ndim - 2
+    A = S
+    cols, dinvs = [], []
+    for j in range(s):
+        di = lax.rsqrt(A[..., 0, 0])  # (...,)
+        col = A[..., :, 0] * di[..., None]  # (..., s - j)
+        if j:
+            col_p = jnp.pad(col, [(0, 0)] * bdims + [(j, 0)])
+        else:
+            col_p = col
+        cols.append(col_p)
+        dinvs.append(di)
+        if j < s - 1:
+            t = col[..., 1:]
+            A = A[..., 1:, 1:] - t[..., :, None] * t[..., None, :]
+    L = jnp.stack(cols, axis=-1)
+    dinv = jnp.stack(dinvs, axis=-1)
+    return L, dinv
+
+
+def _tri_inv_doubling(L, dinv):
+    """Inverse of small lower-triangular L via scalar-diagonal nilpotent
+    doubling: A = -D^-1 N is strictly lower with A^s = 0, so
+    L^-1 = (sum A^k) D^-1 in ceil(log2(s)) GEMM doublings — no loops."""
+    s = L.shape[-1]
+    N = L * (1.0 - jnp.eye(s, dtype=L.dtype)) * dinv[..., :, None]
+    A = -N
+    P = jnp.eye(s, dtype=L.dtype) + A
+    k = 1
+    while k < s - 1:
+        A = A @ A
+        P = P + A @ P
+        k *= 2
+    return P * dinv[..., None, :]
+
+
+def chol_inv(S, base=16):
+    """(L, Linv) of an SPD block with NO data-dependent control flow.
+
+    Recursive 2x2 block Cholesky: the diagonal chain is inherently
+    sequential, but every step is either a GEMM (MXU) or a fused
+    elementwise chain — no While loops, so the 15-node factorization scan
+    stops being launch-latency-bound (measured: the in-context
+    assemble+factorize was 127 ms of a 246 ms MPC tick with XLA's loop
+    cholesky/trsm; see RESULTS.md round 2)."""
+    s = S.shape[-1]
+    if s <= base:
+        L, dinv = _chol_base_unrolled(S)
+        return L, _tri_inv_doubling(L, dinv)
+    k = (s + 1) // 2
+    L1, L1i = chol_inv(S[..., :k, :k], base)
+    L21 = jnp.einsum("...ij,...kj->...ik", S[..., k:, :k], L1i)
+    S2 = S[..., k:, k:] - jnp.einsum("...ij,...kj->...ik", L21, L21)
+    L2, L2i = chol_inv(S2, base)
+    B21 = -jnp.einsum("...ij,...jk,...kl->...il", L2i, L21, L1i)
+    bshape = S.shape[:-2]
+    zer = jnp.zeros(bshape + (k, s - k), dtype=S.dtype)
+    L = jnp.concatenate([
+        jnp.concatenate([L1, zer], axis=-1),
+        jnp.concatenate([L21, L2], axis=-1),
+    ], axis=-2)
+    Linv = jnp.concatenate([
+        jnp.concatenate([L1i, zer], axis=-1),
+        jnp.concatenate([B21, L2i], axis=-1),
+    ], axis=-2)
+    return L, Linv
+
+
 def chol_blocked(S, panels=3):
     """Right-looking blocked Cholesky — bandwidth-shaped for TPU.
 
@@ -242,9 +323,16 @@ class CyclicFactor(NamedTuple):
 
 
 def _spd_inverse(H):
-    """Batched SPD inverse via Cholesky + GEMM triangular inversion."""
-    L = jnp.linalg.cholesky(H + 1e-6 * jnp.eye(H.shape[-1], dtype=H.dtype))
-    Linv = jax.vmap(tri_inverse_lower)(L) if H.ndim == 3 else tri_inverse_lower(L)
+    """Batched SPD inverse via blocked Cholesky + GEMM triangular
+    inversion (chol_blocked keeps the sequential column sweep short; the
+    batch over remaining odd blocks rides the leading dims)."""
+    S = H + 1e-6 * jnp.eye(H.shape[-1], dtype=H.dtype)
+    if H.ndim == 3:
+        L = jax.vmap(chol_blocked)(S)
+        Linv = jax.vmap(tri_inverse_lower)(L)
+    else:
+        L = chol_blocked(S)
+        Linv = tri_inverse_lower(L)
     return jnp.einsum("...ji,...jk->...ik", Linv, Linv)
 
 
@@ -615,7 +703,16 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
                                  box_idx=box_idx)
     cyclic = cfg.factorizer == "cyclic"
-    fac = factorize_cyclic(H, U) if cyclic else factorize(H, U)
+    if cfg.factorizer == "pallas":
+        from .pallas_fac import factorize_pallas
+
+        fac = factorize_pallas(
+            H, U, interpret=jax.default_backend() != "tpu"
+        )
+    elif cyclic:
+        fac = factorize_cyclic(H, U)
+    else:
+        fac = factorize(H, U)
     if cfg.matvec_dtype == "bfloat16":
         A = A.astype(jnp.bfloat16)
         D = D.astype(jnp.bfloat16)
