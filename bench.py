@@ -47,6 +47,7 @@ def main():
     ls_trials = int(os.environ.get("BENCH_LS_TRIALS", "8"))
     line_search = os.environ.get("BENCH_LINE_SEARCH", "1") == "1"
     corrector = int(os.environ.get("BENCH_CORRECTOR", "0"))
+    eqproj = int(os.environ.get("BENCH_EQPROJ", "0"))
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -59,6 +60,7 @@ def main():
             n_trials=ls_trials,
             line_search=line_search,
             corrector_iters=corrector,
+            eq_projection=eqproj,
             admm=ADMMConfig(iters=admm_iters, precision=qp_precision,
                             factorizer=factorizer,
                             matvec_dtype=matvec_dtype),

@@ -586,8 +586,21 @@ def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
     return -Pinv * (q + Atl)
 
 
+def _factorize_by_name(H, U, factorizer="sequential"):
+    """Factorizer dispatch shared by prepare/kkt_polish/eq_project."""
+    if factorizer == "pallas":
+        from .pallas_fac import factorize_pallas
+
+        return factorize_pallas(
+            H, U, interpret=jax.default_backend() != "tpu"
+        )
+    if factorizer == "cyclic":
+        return factorize_cyclic(H, U)
+    return factorize(H, U)
+
+
 def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
-               refine=2):
+               refine=2, factorizer="sequential"):
     """Minimum-norm correction zeroing the masked (equality) rows.
 
         delta_z = argmin 1/2 d^T Mw d   s.t.   (A d)_row = resid_row  (W=1)
@@ -653,7 +666,11 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
         out = out.at[1:].add(jnp.einsum("nmk,nm->nk", S_off, lam[:-1]))
         return out
 
-    fac = factorize(S_diag, S_off)
+    # cyclic factors don't fit solve_factorized; fall back to sequential
+    fac = _factorize_by_name(
+        S_diag, S_off,
+        factorizer if factorizer == "pallas" else "sequential",
+    )
     lam = solve_factorized(fac, rhs)
     for _ in range(refine):
         lam = lam + solve_factorized(fac, rhs - S_matvec(lam))
@@ -703,16 +720,7 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
                                  box_idx=box_idx)
     cyclic = cfg.factorizer == "cyclic"
-    if cfg.factorizer == "pallas":
-        from .pallas_fac import factorize_pallas
-
-        fac = factorize_pallas(
-            H, U, interpret=jax.default_backend() != "tpu"
-        )
-    elif cyclic:
-        fac = factorize_cyclic(H, U)
-    else:
-        fac = factorize(H, U)
+    fac = _factorize_by_name(H, U, cfg.factorizer)
     if cfg.matvec_dtype == "bfloat16":
         A = A.astype(jnp.bfloat16)
         D = D.astype(jnp.bfloat16)

@@ -288,7 +288,8 @@ class SQPSolver:
                     )
                     W = (eq_rows & (row_norm > 1e-8)).astype(Z.dtype)
                     r = l_b[:, :md] - g_now[:, :md]
-                    dlt = eq_project(Gf, Bf, Cf, P_diag, r, W)
+                    dlt = eq_project(Gf, Bf, Cf, P_diag, r, W,
+                                     factorizer=cfg.admm.factorizer)
                     Z = Z + dlt
                     g_try = t.evaluate(Z, stage_params, shared)
                     viol_try = jnp.max(
