@@ -171,3 +171,83 @@ def test_static_standing_forces(setup):
     tau = rbda.rnea(model, q, zero, zero, feet, forces)
     # base linear force residual ~ 0 (vertical balance); x/y moments small
     assert abs(float(tau[2])) < 1e-2 * fz
+
+
+def test_rnea_analytic_derivatives_match_ad():
+    """rbda.rnea_derivatives (analytic, world-frame masked einsums) must
+    equal pure-AD tangent-space Jacobians of rnea — including external
+    frame forces and the free-flyer base block."""
+    from tpu_locoman import B2G
+
+    robot = B2G()
+    robot.set_gait_sequence("trot", 0.5)
+    model = robot.model
+    rng = np.random.default_rng(3)
+    nq, nv = model.nq, model.nv
+    q = np.zeros(nq, np.float32)
+    q[:3] = rng.normal(size=3) * 0.3
+    quat = rng.normal(size=4)
+    q[3:7] = quat / np.linalg.norm(quat)
+    q[7:] = rng.normal(size=nq - 7) * 0.5
+    v = jnp.asarray(rng.normal(size=nv).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=nv).astype(np.float32))
+    frames = tuple(robot.foot_frames) + (robot.ext_force_frame,)
+    fw = jnp.asarray((rng.normal(size=3 * len(frames)) * 50).astype(np.float32))
+    q = jnp.asarray(q)
+
+    Jq_ad = jax.jacfwd(
+        lambda t: rbda.rnea(
+            model, rbda.model_integrate(model, q, t), v, a, frames, fw
+        )
+    )(jnp.zeros(nv))
+    Jv_ad = jax.jacfwd(lambda x: rbda.rnea(model, q, x, a, frames, fw))(v)
+    Ja_ad = jax.jacfwd(lambda x: rbda.rnea(model, q, v, x, frames, fw))(a)
+    Jf_ad = jax.jacfwd(lambda x: rbda.rnea(model, q, v, a, frames, x))(fw)
+
+    Jq, Jv, Ja, Jf = rbda.rnea_derivatives(model, q, v, a, frames, fw)
+    for lbl, A, B in [("dq", Jq_ad, Jq), ("dv", Jv_ad, Jv),
+                      ("da", Ja_ad, Ja), ("df", Jf_ad, Jf)]:
+        scale = max(1.0, float(jnp.abs(A).max()))
+        np.testing.assert_allclose(
+            np.asarray(B), np.asarray(A), atol=3e-6 * scale, err_msg=lbl
+        )
+
+
+def test_rnea_ad_custom_jvp_matches_ad_through_decode():
+    """The rnea_ad custom JVP must reproduce plain-AD Jacobians through the
+    formulation's decode (integrate chart composition), in BOTH forward
+    (jacfwd) and reverse (jacrev — the split-linearize path) modes."""
+    from tpu_locoman import B2G
+    from tpu_locoman.dynamics.formulations import make_formulation
+
+    robot = B2G()
+    robot.set_gait_sequence("trot", 0.5)
+    form = make_formulation("whole_body_rnea", robot)
+    model = form.model
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(
+        np.concatenate([np.asarray(robot.q0), np.zeros(model.nv)]).astype(
+            np.float32
+        )
+    )
+    dx = jnp.asarray(rng.normal(size=2 * model.nv).astype(np.float32) * 0.1)
+    u = jnp.asarray(rng.normal(size=form.nu).astype(np.float32))
+
+    def tau_custom(dx_, u_):
+        d = form.decode(x0, dx_, u_)
+        return rbda.rnea_ad(model, d["q"], d["v"], d["a"],
+                            tuple(form.ee_frames), d["forces"])
+
+    def tau_plain(dx_, u_):
+        d = form.decode(x0, dx_, u_)
+        return rbda.rnea(model, d["q"], d["v"], d["a"],
+                         form.ee_frames, d["forces"])
+
+    for jac in (jax.jacfwd, jax.jacrev):
+        Jc = jac(tau_custom, argnums=(0, 1))(dx, u)
+        Jp = jac(tau_plain, argnums=(0, 1))(dx, u)
+        for a_, b_ in zip(Jc, Jp):
+            scale = max(1.0, float(jnp.abs(b_).max()))
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), atol=3e-6 * scale
+            )

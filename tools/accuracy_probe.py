@@ -44,6 +44,7 @@ def main():
     scaling = int(os.environ.get("PROBE_SCALING", "0"))
     kkt = os.environ.get("PROBE_KKT", "0") == "1"
     eqproj = int(os.environ.get("PROBE_EQPROJ", "0"))
+    n_trials = int(os.environ.get("PROBE_LS_TRIALS", "8"))
 
     robot = {"b2g": B2G, "go2": Go2}[os.environ.get("PROBE_ROBOT", "b2g")]()
     robot.set_gait_sequence("trot", 0.8)
@@ -62,6 +63,7 @@ def main():
             corrector_iters=corrector,
             kkt_polish=kkt,
             eq_projection=eqproj,
+            n_trials=n_trials,
         ),
     )
     base_vel_des = jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32)

@@ -52,6 +52,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     nodes = int(os.environ.get("BENCH_NODES", "14"))
     admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "10"))
+    factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -59,8 +60,10 @@ def main():
         robot,
         dynamics="whole_body_rnea",
         nodes=nodes,
-        config=SQPConfig(sqp_iters=1, admm=ADMMConfig(iters=admm_iters)),
+        config=SQPConfig(sqp_iters=1, admm=ADMMConfig(
+            iters=admm_iters, factorizer=factorizer)),
     )
+    print(f"factorizer={factorizer}", flush=True)
     trans = mpc.trans
     cfg = mpc.solver.cfg
 

@@ -163,7 +163,16 @@ class Formulation:
         return jnp.concatenate([dp, dl])
 
     def rnea_dyn(self, q, v, a, forces):
-        """Whole-body torques (reference dynamics.py:33-65)."""
+        """Whole-body torques (reference dynamics.py:33-65).
+
+        Quaternion-base models go through rnea_ad: the analytic-derivative
+        custom JVP computes ALL of dtau/d(q,v,a,f) in one masked-einsum
+        pass instead of AD re-sweeping the recursion per output row —
+        the linearize hot path's dominant dynamics cost."""
+        if self.model.base_type != "euler_zyx":
+            return rbda.rnea_ad(
+                self.model, q, v, a, tuple(self.ee_frames), forces
+            )
         return rbda.rnea(self.model, q, v, a, self.ee_frames, forces)
 
     def frame_velocity(self, frame, q, v, relative_to_base=False):

@@ -18,10 +18,13 @@ Design notes (TPU-first):
 - derivatives come from jax autodiff (jacfwd/jvp), replacing CasADi AD.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import lie
 from .lie import skew, integrate_q
 
 GRAVITY = 9.81
@@ -551,6 +554,186 @@ def nonlinear_effects(model, q, v):
     """Coriolis + gravity torques (pin.nonLinearEffects, reference
     dynamics_whole_body_acc.py:56)."""
     return rnea(model, q, v, jnp.zeros(model.nv))
+
+
+# ---------------------------------------------------------------------------
+# Analytic RNEA derivatives (the Pinocchio computeRNEADerivatives analog;
+# the reference gets these implicitly through CasADi AD over Pinocchio).
+#
+# World-frame derivation: perturbing dof j by a LOCAL tangent delta applies
+# the rigid world twist s_j*delta to every link in subtree(j), so every
+# subtree quantity conjugates: d(s_m) = s_j x s_m whenever the link CARRYING
+# dof m lies in subtree(j) — one mask DM[m, j] = anc[link(m), j] covers base
+# and joint dofs with no special cases (a revolute axis is invariant under
+# its own rotation, and s_j x s_j = 0 makes the diagonal vanish for free).
+# Everything else follows by the product rule on the rnea_wf formulas.
+#
+# Why this exists: AD (one vjp pullback per RNEA row) re-sweeps the reverse
+# chain ~nv times per node; this computes ALL of dtau/d(q,v,a,f) in a dozen
+# ancestry-masked einsums (~10x one RNEA evaluation).
+# ---------------------------------------------------------------------------
+
+
+def _mcross_b(m1, m2):
+    """motion_cross with broadcasting over leading dims ([lin, ang])."""
+    v1, w1 = m1[..., :3], m1[..., 3:]
+    v2, w2 = m2[..., :3], m2[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w1, v2) + jnp.cross(v1, w2), jnp.cross(w1, w2)], axis=-1
+    )
+
+
+def _fcross_b(m, f):
+    """motion_cross_star with broadcasting ([lin, ang] force)."""
+    v, w = m[..., :3], m[..., 3:]
+    fl, tau = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, fl), jnp.cross(w, tau) + jnp.cross(v, fl)], axis=-1
+    )
+
+
+def rnea_derivatives(model, q, v, a, ee_frames=(), forces_world=None):
+    """(dtau/dq_tangent, dtau/dv, dtau/da, dtau/df) of rnea(), analytic.
+
+    dq is the LOCAL tangent (the direction consumed by model_integrate /
+    freeflyer_integrate's body twist — what the OCP differentiates w.r.t.).
+    dtau/df is (nv, 3 * len(ee_frames)) or None. Quaternion base only
+    (euler_zyx callers keep plain AD)."""
+    R_w, p_w, anc, Sw, sv, V, sdot = _world_kinematics(model, q, v)
+    I_w = _world_inertias(model, R_w, p_w)
+    dof_link = np.asarray(_link_of_dof(model))
+    nv = model.nv
+
+    g_vec = jnp.concatenate([jnp.array([0.0, 0.0, GRAVITY]), jnp.zeros(3)])
+    sa = Sw * a[:, None] + sdot * v[:, None]
+    A = anc @ sa + g_vec  # (n, 6) link accelerations incl. gravity
+    Iv = jnp.einsum("nij,nj->ni", I_w, V)
+    IA = jnp.einsum("nij,nj->ni", I_w, A)
+    f = IA + _fcross_b(V, Iv)  # (n, 6) body forces (ext forces added below)
+
+    # DM[m, j] = 1 iff dof j moves the link carrying dof m.
+    DM = anc[dof_link]  # (nv, nv)
+    Vl = V[dof_link]  # (nv, 6) velocity of the carrying link
+
+    # --- d/da: the CRBA quadratic form ---------------------------------
+    ISm = jnp.einsum("nde,me->nmd", I_w, Sw)  # I_n s_m
+    dtau_da = jnp.einsum("nk,nm,kd,nmd->km", anc, anc, Sw, ISm)
+
+    # --- shared: Vt[i, j] = sum_m anc[i,m] DM[m,j] sv_m -----------------
+    Vt = jnp.einsum("nm,mj,md->njd", anc, DM, sv)  # (n, nv, 6)
+    # dV_q[i, j] = s_j x Vt[i, j]  (zero outside subtree(j) automatically)
+    dV_q = _mcross_b(Sw[None, :, :], Vt)  # (n, nv, 6)
+
+    # --- d/dv -----------------------------------------------------------
+    dV_v = anc[:, :, None] * Sw[None, :, :]  # (n, nv, 6)
+    dA_v = dV_q + anc[:, :, None] * sdot[None, :, :]
+    # (dV_i/dv_m's cross term s_m x Vt[i,m] is the SAME tensor as dV_q)
+    df_v = (
+        jnp.einsum("nde,nme->nmd", I_w, dA_v)
+        + _fcross_b(dV_v, Iv[:, None, :])
+        + _fcross_b(V[:, None, :], jnp.einsum("nde,nme->nmd", I_w, dV_v))
+    )
+    dtau_dv = jnp.einsum("nk,kd,nmd->km", anc, Sw, df_v)
+
+    # --- d/dq (local tangent) -------------------------------------------
+    crossSS = _mcross_b(Sw[None, :, :], Sw[:, None, :])  # [m, j] = s_j x s_m
+    dS = DM[:, :, None] * crossSS  # (nv_m, nv_j, 6)
+    dsdot = _mcross_b(dV_q[dof_link], Sw[:, None, :]) + DM[
+        :, :, None
+    ] * _mcross_b(Vl[:, None, :], crossSS)
+    dA_q = jnp.einsum(
+        "nm,mjd->njd", anc, dS * a[:, None, None] + dsdot * v[:, None, None]
+    )
+    # inertia conjugation: dI_i(X) = AL*(s_j x* (I X) - I (s_j x X))
+    AL = anc[:, :, None]  # (n, nv_j, 1)
+    dIA = AL * (
+        _fcross_b(Sw[None, :, :], IA[:, None, :])
+        - jnp.einsum(
+            "nde,nje->njd", I_w, _mcross_b(Sw[None, :, :], A[:, None, :])
+        )
+    ) + jnp.einsum("nde,nje->njd", I_w, dA_q)
+    dIv = AL * (
+        _fcross_b(Sw[None, :, :], Iv[:, None, :])
+        - jnp.einsum(
+            "nde,nje->njd", I_w, _mcross_b(Sw[None, :, :], V[:, None, :])
+        )
+    ) + jnp.einsum("nde,nje->njd", I_w, dV_q)
+    df_q = dIA + _fcross_b(dV_q, Iv[:, None, :]) + _fcross_b(
+        V[:, None, :], dIv
+    )
+
+    # --- external frame forces (world-frame linear force at a frame) ----
+    dtau_df = None
+    if forces_world is not None and len(ee_frames) > 0:
+        df_cols = []
+        for idx, fname in enumerate(ee_frames):
+            fr = model.frames[fname]
+            jid = fr.parent_joint
+            fw = forces_world[3 * idx: 3 * idx + 3]
+            p_f = R_w[jid] @ jnp.asarray(fr.p) + p_w[jid]
+            # value: f_jid -= [fw, p_f x fw]
+            f = f.at[jid].add(
+                -jnp.concatenate([fw, jnp.cross(p_f, fw)])
+            )
+            # q-derivative: only the moment arm p_f moves with q_j
+            dp_f = anc[jid][:, None] * (
+                Sw[:, :3] + jnp.cross(Sw[:, 3:], p_f[None, :])
+            )  # (nv_j, 3)
+            dFx = jnp.concatenate(
+                [jnp.zeros_like(dp_f), jnp.cross(dp_f, fw[None, :])],
+                axis=-1,
+            )
+            df_q = df_q.at[jid].add(-dFx)
+            # f-derivative columns: dtau_k/dfw = -anc[jid,k]
+            #   (s_k[:3] + s_k[3:] x p_f) per linear-force axis
+            col = -anc[jid][:, None] * (
+                Sw[:, :3] + jnp.cross(Sw[:, 3:], p_f[None, :])
+            )  # (nv_k, 3)
+            df_cols.append(col)
+        dtau_df = jnp.concatenate(df_cols, axis=1)  # (nv, 3 * n_frames)
+
+    F_dof = anc.T @ f  # (nv, 6) subtree force sums (ext forces included)
+    dtau_dq = jnp.einsum("kjd,kd->kj", dS, F_dof) + jnp.einsum(
+        "nk,kd,njd->kj", anc, Sw, df_q
+    )
+    return dtau_dq, dtau_dv, dtau_da, dtau_df
+
+
+def _coord_to_tangent(model, q, dq_coords):
+    """Map a configuration-coordinate tangent (nq) to the local tangent
+    (nv) — the inverse chart map of model_integrate at the base point.
+    Exact for tangents in the manifold's tangent space (which is what AD
+    propagates through integrate). Quaternion base only."""
+    R0 = lie.quat_to_matrix(q[3:7])
+    dp_t = R0.T @ dq_coords[:3]
+    # q' = q (x) exp(w/2): dq = q (x) [w/2, 0]  =>  w = 2 vec(conj(q) (x) dq)
+    dw = 2.0 * lie.quat_mul(lie.quat_conj(q[3:7]), dq_coords[3:7])[:3]
+    return jnp.concatenate([dp_t, dw, dq_coords[7:]])
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 4))
+def rnea_ad(model, q, v, a, ee_frames, forces_world):
+    """rnea with an analytic custom JVP: one rnea_derivatives call serves
+    every jacfwd tangent / vjp cotangent instead of AD re-sweeping the
+    recursion per row. The JVP is linear in the tangents, so JAX
+    transposes it automatically for reverse mode (the split-linearize
+    path's jax.vjp)."""
+    return rnea(model, q, v, a, ee_frames, forces_world)
+
+
+@rnea_ad.defjvp
+def _rnea_ad_jvp(model, ee_frames, primals, tangents):
+    q, v, a, forces_world = primals
+    dq, dv, da, df = tangents
+    tau = rnea(model, q, v, a, ee_frames, forces_world)
+    dtau_dq, dtau_dv, dtau_da, dtau_df = rnea_derivatives(
+        model, q, v, a, ee_frames, forces_world
+    )
+    t = _coord_to_tangent(model, q, dq)
+    dtau = dtau_dq @ t + dtau_dv @ dv + dtau_da @ da
+    if dtau_df is not None:
+        dtau = dtau + dtau_df @ df
+    return tau, dtau
 
 
 # ---------------------------------------------------------------------------
