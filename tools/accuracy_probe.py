@@ -45,6 +45,7 @@ def main():
     kkt = os.environ.get("PROBE_KKT", "0") == "1"
     eqproj = int(os.environ.get("PROBE_EQPROJ", "0"))
     n_trials = int(os.environ.get("PROBE_LS_TRIALS", "8"))
+    factorizer = os.environ.get("PROBE_FACTORIZER", "sequential")
 
     robot = {"b2g": B2G, "go2": Go2}[os.environ.get("PROBE_ROBOT", "b2g")]()
     robot.set_gait_sequence("trot", 0.8)
@@ -57,7 +58,8 @@ def main():
             admm=ADMMConfig(iters=admm_iters, eq_boost=eq_boost, rho=rho,
                             polish_iters=polish_iters,
                             polish_boost=polish_boost,
-                            scaling_iters=scaling),
+                            scaling_iters=scaling,
+                            factorizer=factorizer),
             admm_schedule=schedule,
             line_search=line_search,
             corrector_iters=corrector,
