@@ -854,6 +854,12 @@ def _aba_cjvp_rule(model, ee_frames, primals, tangents):
     a, L = _aba_factor_solve(model, q, v, tau, ee_frames, forces_world)
 
     def tau_of(q_, v_, f_):
+        # rnea_ad: one analytic rnea_derivatives pass is hoisted out of the
+        # tangent batch (jacfwd vmaps tangents; the primal-only derivative
+        # tensors are batch-invariant), so every extra tangent costs small
+        # matmuls instead of a full forward-mode rnea sweep.
+        if model.base_type != "euler_zyx":
+            return rnea_ad(model, q_, v_, a, tuple(ee_frames), f_)
         return rnea(model, q_, v_, a, ee_frames, f_)
 
     _, dMa_bias = jax.jvp(tau_of, (q, v, forces_world), (dq, dv, df))
