@@ -47,7 +47,7 @@ def test_structure_check_and_report():
     carry, _ = jax.jit(lambda c: mpc.step(
         c, jnp.float32(0.0), jnp.array([0.1, 0, 0, 0, 0, 0])))(carry)
     rep2 = solve_report(mpc, carry, jnp.float32(0.01),
-                        jnp.array([0.1, 0, 0, 0, 0, 0]))
+                        jnp.array([0.1, 0, 0, 0, 0, 0]), solve=True)
     assert np.isfinite(rep2.max_violation)
     assert "dyn:q_prop" in rep2.violation_by_group
     assert isinstance(rep2.pretty(), str)

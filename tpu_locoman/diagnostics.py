@@ -88,15 +88,16 @@ class SolveReport:
         return "\n".join(lines)
 
 
-def solve_report(mpc, carry, t_current, base_vel_des, solve=True,
+def solve_report(mpc, carry, t_current, base_vel_des, solve=False,
                  **target_kw):
     """Structured per-solve quality report (the analog of the reference's
     printouts at ocp.py:367-414).
 
-    With solve=True (default) one solver step is performed from the carry
-    and the report covers the resulting iterate — including the real
+    solve=False (default) inspects the carried iterate as-is — cheap, no
+    solver compile. With solve=True one solver step is performed from the
+    carry and the report covers the resulting iterate — including the real
     line-search alpha and status the reference prints every solve
-    (ocp.py:475). solve=False inspects the carried iterate as-is."""
+    (ocp.py:475) — at the cost of compiling a full solver step."""
     shared = mpc.make_shared(
         carry.x_init, base_vel_des, tau_prev=carry.tau_prev, **target_kw
     )

@@ -591,9 +591,15 @@ def _factorize_by_name(H, U, factorizer="sequential"):
     if factorizer == "pallas":
         from .pallas_fac import factorize_pallas
 
-        return factorize_pallas(
-            H, U, interpret=jax.default_backend() != "tpu"
-        )
+        interpret = jax.default_backend() != "tpu"
+        if interpret:
+            import warnings
+
+            warnings.warn(
+                "factorizer='pallas' is running in Pallas interpreter mode "
+                "(backend is not TPU) — correct but slow; use "
+                "factorizer='sequential' off-TPU", stacklevel=3)
+        return factorize_pallas(H, U, interpret=interpret)
     if factorizer == "cyclic":
         return factorize_cyclic(H, U)
     return factorize(H, U)
@@ -806,6 +812,11 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx,
 
     # Unscale back to problem units.
     if return_work:
-        assert cfg.scaling_iters == 0, "work reuse requires unscaled data"
+        if cfg.scaling_iters != 0:
+            # Hard error (not assert: -O would strip it and silently hand
+            # scaled-units work to the corrector, producing wrong steps).
+            raise ValueError(
+                "admm_solve(return_work=True) requires scaling_iters == 0: "
+                "corrector steps reuse the factorization in problem units")
         return (x * Dc, z / E, y * E), work
     return x * Dc, z / E, y * E

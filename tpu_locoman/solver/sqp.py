@@ -253,6 +253,7 @@ class SQPSolver:
                 )
             bad2 = jnp.any(jnp.isnan(d2))
             d2 = jnp.where(bad2, jnp.zeros_like(d2), d2)
+            bad = bad | bad2  # a failed corrector QP must surface in status
             Z = Z + d2
             g3 = t.evaluate(Z, stage_params, shared)
             viol3 = jnp.maximum(0.0, l_b - g3) + jnp.maximum(0.0, g3 - u_b)
