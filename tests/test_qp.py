@@ -243,3 +243,17 @@ def test_pallas_factorize_matches_xla():
     np.testing.assert_allclose(
         np.asarray(fb.Linv[1]), np.asarray(f1.Linv), atol=1e-5
     )
+
+
+def test_return_work_requires_unscaled():
+    """return_work=True with Ruiz scaling enabled must hard-error (the
+    corrector would otherwise silently reuse scaled-units QP work)."""
+    rng = np.random.default_rng(7)
+    G, B, C, P = random_blocks(rng, N=3, m=3, ndx=3, nu=2)
+    N, m, _ = G.shape
+    s = P.shape[1]
+    q = jnp.zeros((N + 1, s), dtype=jnp.float32)
+    b = jnp.zeros((N, m), dtype=jnp.float32)
+    cfg = ADMMConfig(iters=2, scaling_iters=1)
+    with pytest.raises(ValueError, match="scaling_iters"):
+        admm_solve(G, B, C, P, q, b, b, cfg, return_work=True)

@@ -251,6 +251,7 @@ def diff(path_a, path_b):
             for q in set(a[node]) & set(b[node]):
                 cmp(f"{node}.{q}", a[node][q], b[node][q])
     print(json.dumps(out, indent=2, sort_keys=True))
+    return out
 
 
 if __name__ == "__main__":
