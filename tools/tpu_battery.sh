@@ -1,0 +1,41 @@
+#!/bin/bash
+# Unattended round-3 TPU validation battery (VERDICT items 1,2,3,4,7).
+# Run after tools/tpu_wait.sh reports the device healthy:
+#   bash tools/tpu_wait.sh && bash tools/tpu_battery.sh
+# Each bench run logs to /tmp/battery/<name>.log; one-line JSON results are
+# appended to /tmp/battery/summary.log. The persistent compilation cache
+# (/tmp/jax_cache, enabled inside bench.py) makes later repeats cheap.
+#
+# The 75-min per-run timeout is a wedge backstop only: killing a TPU client
+# mid-compute can wedge the axon device (CLAUDE.md), but a bench run hung
+# that long means the device is already wedged and the kill loses nothing.
+set -u
+LOG=/tmp/battery
+mkdir -p "$LOG"
+
+run() {
+  name=$1; shift
+  echo "=== $name start $(date) ===" | tee -a "$LOG/summary.log"
+  timeout 4500 env "$@" python bench.py > "$LOG/$name.log" 2>&1
+  rc=$?
+  tail -1 "$LOG/$name.log" | tee -a "$LOG/summary.log"
+  echo "=== $name rc=$rc $(date) ===" | tee -a "$LOG/summary.log"
+}
+
+# 1. Re-verify the round-2 default config on hardware (and warm the cache).
+run 01_default
+# 2. THE round item: Pallas VMEM factorizer, first-ever real-TPU run.
+run 02_pallas BENCH_FACTORIZER=pallas
+# 3. Quality config: corrector=5 halved gait-transition spikes on CPU.
+run 03_pallas_corr5 BENCH_FACTORIZER=pallas BENCH_CORRECTOR=5
+# 4. Line-search trim (CPU-verified quality-neutral).
+run 04_pallas_ls5 BENCH_FACTORIZER=pallas BENCH_LS_TRIALS=5
+run 05_pallas_corr5_ls5 BENCH_FACTORIZER=pallas BENCH_CORRECTOR=5 BENCH_LS_TRIALS=5
+# 5. whole_body_aba gate (>=1.5k solves/s from 707, round-1 task 5).
+run 06_aba BENCH_DYNAMICS=whole_body_aba
+run 07_aba_pallas BENCH_DYNAMICS=whole_body_aba BENCH_FACTORIZER=pallas
+# 6. Price the accurate mode (VERDICT 3): candidate pending the CPU
+#    frontier sweep; round-2 golden as the known-good anchor, few ticks.
+run 08_accurate BENCH_SQP_ITERS=2 BENCH_ADMM_ITERS=100 BENCH_EQPROJ=2 \
+    BENCH_TICKS=5 BENCH_LATENCY_SAMPLES=5
+echo "BATTERY DONE $(date)" | tee -a "$LOG/summary.log"
