@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--dump", default=None, help="write trajectory JSON here")
     ap.add_argument("--viz", default=None,
                     help="write a self-contained 3D replay HTML here")
+    ap.add_argument("--live", action="store_true",
+                    help="serve a live 3D viewer and stream ticks to it "
+                         "(the MeshCat live-display analog)")
+    ap.add_argument("--live-port", type=int, default=8765)
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,31 @@ def main():
         ),
     )
     base_vel_des = jnp.array([args.vx, 0, 0, 0, 0, 0], dtype=jnp.float32)
+
+    if args.live:
+        # Per-tick Python loop (instead of the lax.scan rollout) so each
+        # executed state can be streamed to the browser as it happens —
+        # the reference's robot.init_visualizer() + display(q) loop
+        # (run_mpc.py:163-165).
+        from tpu_locoman.viz import LiveViewer
+
+        viewer = LiveViewer(mpc.form.model,
+                            frame_names=tuple(mpc.form.foot_frames),
+                            dt=mpc.dt_min, port=args.live_port)
+        print("Live viewer serving at", viewer.url)
+        step = jax.jit(lambda c, t: mpc.step(c, t, base_vel_des))
+        carry = mpc.init_carry()
+        for k in range(args.mpc_loops):
+            t_tick = time.time()
+            carry, stats = step(carry, jnp.float32(k * mpc.dt_min))
+            x = np.asarray(carry.x_init)
+            q = x[: mpc.form.nq] if mpc.form.name != "centroidal_vel" \
+                else x[6:]
+            viewer.push(q)
+            time.sleep(max(0.0, mpc.dt_min - (time.time() - t_tick)))
+        print("Live run done (streamed", args.mpc_loops, "ticks)")
+        viewer.close()
+        return
 
     run = jax.jit(lambda: mpc.run(args.mpc_loops, base_vel_des))
     t0 = time.time()

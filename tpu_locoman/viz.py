@@ -81,6 +81,7 @@ _PLAYER_HTML = """<!DOCTYPE html>
 <canvas id="c"></canvas>
 <script>
 const SCENE = __SCENE__;
+const LIVE = __LIVE__;
 const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 let W,H; function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
 rs(); addEventListener('resize', rs);
@@ -123,7 +124,19 @@ function draw(){
  document.getElementById('t').textContent=
   't='+(ti*SCENE.dt).toFixed(2)+'s  tick '+ti+'/'+(SCENE.points.length-1);
 }
-setInterval(()=>{if(playing){ti=(ti+1)%SCENE.points.length;} draw();},
+let lastSeq=-1;
+async function liveTick(){
+ try{
+  const r=await fetch('/frame?since='+lastSeq);
+  if(r.status===200){const f=await r.json();lastSeq=f.seq;
+   SCENE.points=[f.points];ti=0;
+   document.getElementById('t').textContent='live frame '+f.seq;}
+ }catch(e){}
+ draw();
+}
+setInterval(()=>{
+ if(LIVE){liveTick();return;}
+ if(playing){ti=(ti+1)%SCENE.points.length;} draw();},
             Math.max(16, SCENE.dt*1000));
 </script></body></html>
 """
@@ -136,8 +149,122 @@ def write_player_html(path, scene_path):
     with open(scene_path) as f:
         scene = f.read()
     with open(path, "w") as f:
-        f.write(_PLAYER_HTML.replace("__SCENE__", scene))
+        f.write(_PLAYER_HTML.replace("__SCENE__", scene)
+                .replace("__LIVE__", "false"))
     return path
+
+
+class LiveViewer:
+    """Live streaming 3D viewer — the MeshCat live-display analog
+    (reference run_mpc.py:163-165: `robot.init_visualizer()` +
+    per-tick `display(q)`).
+
+    A stdlib threaded HTTP server on localhost serves the skeleton player
+    in live mode; the control loop calls push(q) each tick and the page
+    polls /frame (long-poll-free: 204 when unchanged). Zero external
+    dependencies, works through an ssh port-forward from a headless host.
+
+    Endpoints: `/` player HTML, `/frame?since=N` latest frame JSON
+    {seq, points}, `/scene` static skeleton metadata.
+    """
+
+    def __init__(self, model, frame_names=(), dt=0.02, port=0):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        import jax
+        import jax.numpy as jnp
+
+        from . import rbda
+
+        self._frame_names = tuple(frame_names)
+
+        def positions(q):
+            R_w, p_w = rbda.fk(model, q)
+            pts = [p for p in p_w]
+            for name in self._frame_names:
+                _, pf = rbda.frame_placement(model, name, R_w, p_w)
+                pts.append(pf)
+            return jnp.stack(pts)
+
+        self._positions = jax.jit(positions)
+        n = model.n_links
+        edges = [[int(model.parent[i]), i] for i in range(1, n)]
+        markers = []
+        for k, name in enumerate(self._frame_names):
+            edges.append([int(model.frames[name].parent_joint), n + k])
+            markers.append(n + k)
+        zero = np.zeros((n + len(markers), 3))
+        self._scene = {
+            "dt": float(dt),
+            "points": [zero.tolist()],
+            "edges": edges,
+            "markers": markers,
+            "names": [f"link{i}" for i in range(n)]
+            + list(self._frame_names),
+        }
+        self._lock = threading.Lock()
+        self._seq = 0
+        self._frame = zero.tolist()
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                from urllib.parse import parse_qs, urlparse
+
+                u = urlparse(self.path)
+                if u.path == "/":
+                    html = (_PLAYER_HTML
+                            .replace("__SCENE__", json.dumps(viewer._scene))
+                            .replace("__LIVE__", "true"))
+                    self._send(200, html, "text/html")
+                elif u.path == "/frame":
+                    since = int(parse_qs(u.query).get("since", ["-1"])[0])
+                    with viewer._lock:
+                        seq, frame = viewer._seq, viewer._frame
+                    if seq == since:
+                        self._send(204, "")
+                    else:
+                        self._send(200, json.dumps(
+                            {"seq": seq, "points": frame}))
+                elif u.path == "/scene":
+                    self._send(200, json.dumps(viewer._scene))
+                else:
+                    self._send(404, "{}")
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.port}/"
+
+    def push(self, q):
+        """Publish the current configuration (host-side fk -> points)."""
+        pts = np.asarray(self._positions(np.asarray(q, dtype=np.float32)))
+        with self._lock:
+            self._seq += 1
+            self._frame = pts.tolist()
+        return self._seq
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
 
 
 def plot_joint_trajectories(q_traj, v_traj, tau_traj, nj=12, path=None,
