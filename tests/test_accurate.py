@@ -90,3 +90,29 @@ def test_eq_projection_reaches_fatrop_tolerance():
     assert abs(x[-1, 2] - 0.35) < 0.05, x[-1, :3]
     # skip the cold-start transient; steady ticks must sit at the tolerance
     assert np.max(v[3:]) < 1e-3, v
+
+
+def test_accurate_preset_holds_tolerance():
+    """The shipping accurate preset (SQPConfig.accurate(), round-3
+    frontier winner) must hold the Fatrop production tolerance INCLUDING
+    gait-transition ticks — mean and worst, no transient exclusions
+    beyond the cold start."""
+    v, x = _rollout("accurate", loops=20)
+    assert np.all(np.isfinite(v))
+    assert abs(x[-1, 2] - 0.35) < 0.05, x[-1, :3]
+    assert np.mean(v[2:]) < 1e-3, v
+    assert np.max(v[2:]) < 2e-3, v
+
+
+def test_preset_lookup():
+    import pytest
+
+    from tpu_locoman.solver.sqp import PRESETS
+
+    assert PRESETS["fast"]().sqp_iters == 1
+    acc = PRESETS["accurate"]()
+    assert acc.eq_projection == 4 and acc.admm.iters == 50
+    robot = Go2()
+    robot.set_gait_sequence("trot", 0.5)
+    with pytest.raises(ValueError, match="preset"):
+        MPC(robot, dynamics="whole_body_rnea", nodes=3, config="bogus")

@@ -59,6 +59,14 @@ class MPC:
         **form_kwargs,
     ):
         assert robot.gait_sequence is not None, "call robot.set_gait_sequence first"
+        if isinstance(config, str):
+            from .solver.sqp import PRESETS
+
+            if config not in PRESETS:
+                raise ValueError(
+                    f"unknown config preset {config!r}; "
+                    f"available: {sorted(PRESETS)}")
+            config = PRESETS[config]()
         self.robot = robot
         self.form = make_formulation(dynamics, robot, **form_kwargs)
         self.trans = Transcription(self.form, nodes)

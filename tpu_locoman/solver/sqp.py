@@ -52,6 +52,30 @@ class SQPConfig(NamedTuple):
     g_min: float = 1e-5
     gamma: float = 1e-5
 
+    # -- shipping presets ----------------------------------------------
+    @classmethod
+    def fast(cls):
+        """The real-time hot config (bench default): 1 SQP iteration with
+        10 warm-started ADMM sweeps per tick — the throughput end of the
+        frontier (reference analog: ocp.py:383 one-iteration MPC)."""
+        return cls(sqp_iters=1, admm=ADMMConfig(iters=10))
+
+    @classmethod
+    def accurate(cls):
+        """Production-tolerance preset: holds mean max-violation <= 1e-3
+        over a rollout — the tolerance the reference's production solver
+        ships (Fatrop tol 1e-3, ocp.py:256-257).
+
+        Round-3 frontier sweep (tools/accurate_frontier.py): cheapest
+        swept config holding the tolerance on both go2 N=8 (mean 2.8e-5)
+        and the flagship b2g rnea N=14 (mean 1.7e-4, worst tick 2.7e-4,
+        30-tick CPU rollout). ~10x cheaper per tick than the round-2
+        brute-force sqp6 x admm400 golden config."""
+        return cls(sqp_iters=3, admm=ADMMConfig(iters=50), eq_projection=4)
+
+
+PRESETS = {"fast": SQPConfig.fast, "accurate": SQPConfig.accurate}
+
 
 class SolverState(NamedTuple):
     """Warm-start carry between MPC ticks (primal iterate + ADMM duals,
