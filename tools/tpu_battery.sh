@@ -34,8 +34,17 @@ run 05_pallas_corr5_ls5 BENCH_FACTORIZER=pallas BENCH_CORRECTOR=5 BENCH_LS_TRIAL
 # 5. whole_body_aba gate (>=1.5k solves/s from 707, round-1 task 5).
 run 06_aba BENCH_DYNAMICS=whole_body_aba
 run 07_aba_pallas BENCH_DYNAMICS=whole_body_aba BENCH_FACTORIZER=pallas
-# 6. Price the accurate mode (VERDICT 3): candidate pending the CPU
-#    frontier sweep; round-2 golden as the known-good anchor, few ticks.
-run 08_accurate BENCH_SQP_ITERS=2 BENCH_ADMM_ITERS=100 BENCH_EQPROJ=2 \
-    BENCH_TICKS=5 BENCH_LATENCY_SAMPLES=5
+# 6. Price the accurate mode (VERDICT 3): frontier-sweep winner =
+#    SQPConfig.accurate() (b2g N14 CPU: mean 1.7e-4, worst 2.7e-4;
+#    ~10x cheaper than the round-2 golden sqp6/admm400/eqproj2).
+run 08_accurate BENCH_SQP_ITERS=3 BENCH_ADMM_ITERS=50 BENCH_EQPROJ=4 \
+    BENCH_FACTORIZER=pallas BENCH_TICKS=5 BENCH_LATENCY_SAMPLES=5
+# 7. Horizon parallelism at long horizons (VERDICT 2.3 partial): the
+#    cyclic-reduction factorizer loses at N=14; measure the crossover and
+#    the pallas kernel's VMEM fit at N=30.
+run 09_n30_seq BENCH_NODES=30 BENCH_TICKS=5 BENCH_LATENCY_SAMPLES=5
+run 10_n30_cyclic BENCH_NODES=30 BENCH_FACTORIZER=cyclic BENCH_TICKS=5 \
+    BENCH_LATENCY_SAMPLES=5
+run 11_n30_pallas BENCH_NODES=30 BENCH_FACTORIZER=pallas BENCH_TICKS=5 \
+    BENCH_LATENCY_SAMPLES=5
 echo "BATTERY DONE $(date)" | tee -a "$LOG/summary.log"
