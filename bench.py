@@ -49,6 +49,24 @@ def main():
     corrector = int(os.environ.get("BENCH_CORRECTOR", "0"))
     eqproj = int(os.environ.get("BENCH_EQPROJ", "0"))
 
+    # Hardware-validated shipping defaults: tools/adjudicate_battery.py
+    # writes SHIPPING.json only from a passing real-TPU battery (the
+    # "flip defaults only on a real-TPU pass" rule). Env vars override;
+    # no file = the in-code defaults above.
+    ship_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SHIPPING.json")
+    if os.path.exists(ship_path):
+        with open(ship_path) as f:
+            ship = json.load(f).get("bench_defaults", {})
+        if "BENCH_FACTORIZER" not in os.environ:
+            factorizer = str(ship.get("factorizer", factorizer))
+        if "BENCH_LS_TRIALS" not in os.environ:
+            ls_trials = int(ship.get("ls_trials", ls_trials))
+        if "BENCH_CORRECTOR" not in os.environ:
+            corrector = int(ship.get("corrector", corrector))
+        if "BENCH_ADMM_ITERS" not in os.environ:
+            admm_iters = int(ship.get("admm_iters", admm_iters))
+
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
     mpc = MPC(
@@ -125,6 +143,10 @@ def main():
             "qp_precision": qp_precision,
             "factorizer": factorizer,
             "matvec_dtype": matvec_dtype,
+            "ls_trials": ls_trials,
+            "line_search": line_search,
+            "corrector": corrector,
+            "eqproj": eqproj,
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),
             "compile_s": round(compile_s, 1),

@@ -31,6 +31,10 @@ run 03_pallas_corr5 BENCH_FACTORIZER=pallas BENCH_CORRECTOR=5
 # 4. Line-search trim (CPU-verified quality-neutral).
 run 04_pallas_ls5 BENCH_FACTORIZER=pallas BENCH_LS_TRIALS=5
 run 05_pallas_corr5_ls5 BENCH_FACTORIZER=pallas BENCH_CORRECTOR=5 BENCH_LS_TRIALS=5
+# Guarded default flip: encode the VERDICT decision rule over runs 01-05
+# and write SHIPPING.json (bench.py picks it up) on a real-TPU pass.
+python tools/adjudicate_battery.py 2>&1 | tee -a "$LOG/summary.log"
+
 # 5. whole_body_aba gate (>=1.5k solves/s from 707, round-1 task 5).
 run 06_aba BENCH_DYNAMICS=whole_body_aba
 run 07_aba_pallas BENCH_DYNAMICS=whole_body_aba BENCH_FACTORIZER=pallas
