@@ -245,6 +245,43 @@ def test_pallas_factorize_matches_xla():
     )
 
 
+def test_pallas_factorize_flagship_n30_shape():
+    """The long-horizon shape the round-3 battery drives on hardware
+    (BENCH_NODES=30 -> K=31 blocks at the REAL b2g whole_body_rnea stage
+    width): recursion splits, padding, and the kernel recurrence must stay
+    exact, and the per-instance VMEM footprint must stay inside the ~16 MB
+    budget the kernel assumes (solver/pallas_fac.py docstring)."""
+    from tpu_locoman import B2G, MPC, SQPConfig
+    from tpu_locoman.solver.pallas_fac import factorize_pallas
+
+    robot = B2G()
+    robot.set_gait_sequence("trot", 0.8)
+    s = MPC(robot, dynamics="whole_body_rnea", nodes=3,
+            config=SQPConfig()).trans.s  # stage width: nodes-independent
+    K = 31
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(K, s, s)).astype(np.float32)
+    H = jnp.asarray(
+        np.einsum("nij,nkj->nik", A, A) / s + 3.0 * np.eye(s, dtype=np.float32)
+    )
+    U = jnp.asarray(0.1 * rng.normal(size=(K - 1, s, s)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(K, s)).astype(np.float32))
+
+    # 5 resident (K, s_pad=lane-128-padded) f32 arrays per grid instance
+    s_sub = ((s + 7) // 8) * 8
+    s_lane = ((s + 127) // 128) * 128
+    vmem_mb = 5 * K * s_sub * s_lane * 4 / 2**20
+    assert vmem_mb < 12.0, f"VMEM estimate {vmem_mb:.1f} MB too close to 16"
+
+    f_ref = factorize(H, U)
+    f_pal = factorize_pallas(H, U, interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(
+        np.asarray(solve_factorized(f_pal, b)),
+        np.asarray(solve_factorized(f_ref, b)),
+        atol=1e-5,
+    )
+
+
 def test_return_work_requires_unscaled():
     """return_work=True with Ruiz scaling enabled must hard-error (the
     corrector would otherwise silently reuse scaled-units QP work)."""
