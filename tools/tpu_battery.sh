@@ -43,6 +43,10 @@ run 07_aba_pallas BENCH_DYNAMICS=whole_body_aba BENCH_FACTORIZER=pallas
 #    ~10x cheaper than the round-2 golden sqp6/admm400/eqproj2).
 run 08_accurate BENCH_SQP_ITERS=3 BENCH_ADMM_ITERS=50 BENCH_EQPROJ=4 \
     BENCH_FACTORIZER=pallas BENCH_TICKS=5 BENCH_LATENCY_SAMPLES=5
+#    ... and its single-scenario latency vs the reference's 10 ms budget
+#    (run_mpc loop at Fatrop tol; BASELINE.md).
+run 08b_accurate_lat1 BENCH_SQP_ITERS=3 BENCH_ADMM_ITERS=50 BENCH_EQPROJ=4 \
+    BENCH_FACTORIZER=pallas BENCH_BATCH=1 BENCH_TICKS=10
 # 7. Horizon parallelism at long horizons (VERDICT 2.3 partial): the
 #    cyclic-reduction factorizer loses at N=14; measure the crossover and
 #    the pallas kernel's VMEM fit at N=30.
