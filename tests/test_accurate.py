@@ -111,7 +111,7 @@ def test_preset_lookup():
 
     assert PRESETS["fast"]().sqp_iters == 1
     acc = PRESETS["accurate"]()
-    assert acc.eq_projection == 4 and acc.admm.iters == 50
+    assert acc.eq_projection == 4 and acc.admm.iters == 10
     robot = Go2()
     robot.set_gait_sequence("trot", 0.5)
     with pytest.raises(ValueError, match="preset"):

@@ -41,11 +41,15 @@ run 07_aba_pallas BENCH_DYNAMICS=whole_body_aba BENCH_FACTORIZER=pallas
 # 6. Price the accurate mode (VERDICT 3): frontier-sweep winner =
 #    SQPConfig.accurate() (b2g N14 CPU: mean 1.7e-4, worst 2.7e-4;
 #    ~10x cheaper than the round-2 golden sqp6/admm400/eqproj2).
-run 08_accurate BENCH_SQP_ITERS=3 BENCH_ADMM_ITERS=50 BENCH_EQPROJ=4 \
-    BENCH_FACTORIZER=pallas BENCH_TICKS=5 BENCH_LATENCY_SAMPLES=5
+#    (knobs pinned so an already-written SHIPPING.json can't skew the
+#    preset measurement)
+run 08_accurate BENCH_EQPROJ=4 BENCH_SQP_ITERS=1 BENCH_ADMM_ITERS=10 \
+    BENCH_CORRECTOR=0 BENCH_LS_TRIALS=8 \
+    BENCH_FACTORIZER=pallas BENCH_TICKS=10 BENCH_LATENCY_SAMPLES=10
 #    ... and its single-scenario latency vs the reference's 10 ms budget
 #    (run_mpc loop at Fatrop tol; BASELINE.md).
-run 08b_accurate_lat1 BENCH_SQP_ITERS=3 BENCH_ADMM_ITERS=50 BENCH_EQPROJ=4 \
+run 08b_accurate_lat1 BENCH_EQPROJ=4 BENCH_SQP_ITERS=1 BENCH_ADMM_ITERS=10 \
+    BENCH_CORRECTOR=0 BENCH_LS_TRIALS=8 \
     BENCH_FACTORIZER=pallas BENCH_BATCH=1 BENCH_TICKS=10
 # 7. Horizon parallelism at long horizons (VERDICT 2.3 partial): the
 #    cyclic-reduction factorizer loses at N=14; measure the crossover and

@@ -66,12 +66,16 @@ class SQPConfig(NamedTuple):
         over a rollout — the tolerance the reference's production solver
         ships (Fatrop tol 1e-3, ocp.py:256-257).
 
-        Round-3 frontier sweep (tools/accurate_frontier.py): cheapest
-        swept config holding the tolerance on both go2 N=8 (mean 2.8e-5)
-        and the flagship b2g rnea N=14 (mean 1.7e-4, worst tick 2.7e-4,
-        30-tick CPU rollout). ~10x cheaper per tick than the round-2
-        brute-force sqp6 x admm400 golden config."""
-        return cls(sqp_iters=3, admm=ADMMConfig(iters=50), eq_projection=4)
+        Round-3 frontier sweeps (tools/accurate_frontier.py): quality is
+        carried almost entirely by the equality-projection pass count —
+        4 passes on top of the HOT config (1 SQP x 10 warm ADMM) measure
+        mean 1.7e-4 / worst tick 2.7e-4 on the flagship b2g rnea N=14 and
+        2.2e-5 on go2 N=8 (30-40 tick CPU rollouts), identical to heavy
+        sqp3 x admm25-50 variants at ~1/3 their cost and ~30x cheaper
+        than the round-2 brute-force sqp6 x admm400 golden config. Extra
+        SQP iterations/ADMM sweeps do NOT move the floor; the 4th
+        projection pass does (3 passes floor at ~1.2e-3 flagship)."""
+        return cls(sqp_iters=1, admm=ADMMConfig(iters=10), eq_projection=4)
 
 
 PRESETS = {"fast": SQPConfig.fast, "accurate": SQPConfig.accurate}
