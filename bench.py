@@ -48,6 +48,11 @@ def main():
     line_search = os.environ.get("BENCH_LINE_SEARCH", "1") == "1"
     corrector = int(os.environ.get("BENCH_CORRECTOR", "0"))
     eqproj = int(os.environ.get("BENCH_EQPROJ", "0"))
+    # On-device scan rollout (mpc.run): amortizes the per-call host round
+    # trip (dominant over the axon tunnel at batch 1), so scan_ms_per_tick
+    # is the honest on-robot per-tick latency vs the reference's ~10 ms
+    # single-scenario budget (BASELINE.md; ref ocp.py:256-263 solve loop).
+    scan_ticks = int(os.environ.get("BENCH_SCAN_TICKS", "0"))
 
     # Hardware-validated shipping defaults: tools/adjudicate_battery.py
     # writes SHIPPING.json only from a passing real-TPU battery (the
@@ -126,6 +131,27 @@ def main():
     lat_ms = np.asarray(lat_ms)
     viol_ticks = np.asarray(viol_ticks)
 
+    scan_extra = {}
+    if scan_ticks > 0:
+        vel_des = jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32)
+        run_fn = jax.jit(lambda v: mpc.run(scan_ticks, v)[1]["max_violation"])
+        t0 = time.time()
+        np.asarray(jax.device_get(run_fn(vel_des)))
+        scan_compile_s = time.time() - t0
+        reps = int(os.environ.get("BENCH_SCAN_REPS", "3"))
+        t0 = time.time()
+        for _ in range(reps):
+            viol_scan = np.asarray(jax.device_get(run_fn(vel_des)))
+        scan_elapsed = time.time() - t0
+        scan_extra = {
+            "scan_ticks": scan_ticks,
+            "scan_ms_per_tick": round(
+                1000 * scan_elapsed / (reps * scan_ticks), 3),
+            "scan_compile_s": round(scan_compile_s, 1),
+            "scan_max_violation_mean": float(viol_scan.mean()),
+            "scan_max_violation_worst_tick": float(viol_scan.max()),
+        }
+
     n_dev = len(jax.devices())
     solves = batch * timed_ticks
     solves_per_s = solves / elapsed
@@ -160,6 +186,7 @@ def main():
             # gait-transition spikes; see RESULTS.md).
             "max_violation_mean": float(viol_ticks.mean()),
             "max_violation_worst_tick": float(viol_ticks.max()),
+            **scan_extra,
         },
     }
     print(json.dumps(result))

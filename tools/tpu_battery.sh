@@ -48,9 +48,15 @@ run 08_accurate BENCH_EQPROJ=4 BENCH_SQP_ITERS=1 BENCH_ADMM_ITERS=10 \
     BENCH_FACTORIZER=pallas BENCH_TICKS=10 BENCH_LATENCY_SAMPLES=10
 #    ... and its single-scenario latency vs the reference's 10 ms budget
 #    (run_mpc loop at Fatrop tol; BASELINE.md).
+#    BENCH_SCAN_TICKS runs the on-device lax.scan rollout too, whose
+#    scan_ms_per_tick amortizes the tunnel round trip — the honest
+#    on-robot latency number.
 run 08b_accurate_lat1 BENCH_EQPROJ=4 BENCH_SQP_ITERS=1 BENCH_ADMM_ITERS=10 \
     BENCH_CORRECTOR=0 BENCH_LS_TRIALS=8 \
-    BENCH_FACTORIZER=pallas BENCH_BATCH=1 BENCH_TICKS=10
+    BENCH_FACTORIZER=pallas BENCH_BATCH=1 BENCH_TICKS=10 BENCH_SCAN_TICKS=30
+#    ... same on-device latency for the HOT config (headline per-tick).
+run 08c_hot_lat1 BENCH_FACTORIZER=pallas BENCH_BATCH=1 BENCH_TICKS=10 \
+    BENCH_SCAN_TICKS=30
 # 7. Horizon parallelism at long horizons (VERDICT 2.3 partial): the
 #    cyclic-reduction factorizer loses at N=14; measure the crossover and
 #    the pallas kernel's VMEM fit at N=30.
