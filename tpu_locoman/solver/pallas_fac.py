@@ -43,10 +43,13 @@ def _dot(a, b, ta=False, tb=False):
     )
 
 
-def _chol_unrolled(A, rows_ge):
+def _chol_unrolled(A, rows_ge, onehots):
     """Cholesky of a small (b, b) SPD value via the right-looking rank-1
     recurrence, fully unrolled: b steps of VPU ops, no control flow.
-    rows_ge[j] is the precomputed (b, 1) mask rows >= j."""
+    rows_ge[j] is the precomputed (b, 1) mask rows >= j; onehots[j] the
+    (1, b) indicator of column j.  Columns are accumulated with one-hot
+    multiply-adds because Mosaic's TC lowering has no dynamic_update_slice
+    (first real-TPU compile failed on it, round 3)."""
     b = A.shape[-1]
     L = jnp.zeros_like(A)
     dinv = jnp.zeros((1, b), dtype=A.dtype)
@@ -54,10 +57,8 @@ def _chol_unrolled(A, rows_ge):
         d = lax.rsqrt(A[j, j])
         col = (A[:, j] * d)[:, None]  # (b, 1)
         col = jnp.where(rows_ge[j], col, 0.0)
-        L = lax.dynamic_update_slice(L, col, (0, j))
-        dinv = lax.dynamic_update_slice(
-            dinv, d.reshape(1, 1), (0, j)
-        )
+        L = L + col * onehots[j]
+        dinv = dinv + d * onehots[j]
         if j < b - 1:
             A = A - col * col.reshape(1, b)
     return L, dinv[0]
@@ -83,7 +84,7 @@ def _chol_inv_panels(S, s, base, masks):
     unrolled small bases — the in-kernel counterpart of qp.chol_inv.
     Returns only Linv (the L blocks are consumed internally)."""
     if s <= base:
-        L, dinv = _chol_unrolled(S, masks[s][0])
+        L, dinv = _chol_unrolled(S, masks[s][0], masks[s][2])
         return _tri_inv_doubling(L, dinv, masks[s][1])
     k = (s + 1) // 2
     L1i = _chol_inv_panels(S[:k, :k], k, base, masks)
@@ -129,7 +130,12 @@ def _factorize_kernel(H_ref, U_ref, Linv_ref, W_ref, V_ref, *, K, s, base):
         strict_lower = (
             lax.broadcasted_iota(jnp.int32, (b, b), 0) > cols
         ).astype(jnp.float32)
-        masks[b] = (rows_ge, strict_lower)
+        onehots = [
+            (lax.broadcasted_iota(jnp.int32, (1, b), 1) == j).astype(
+                jnp.float32)
+            for j in range(b)
+        ]
+        masks[b] = (rows_ge, strict_lower, onehots)
 
     eps_eye = 1e-6 * jnp.eye(s, dtype=jnp.float32)
     F_prev = jnp.zeros((s, s), dtype=jnp.float32)
