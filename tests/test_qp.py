@@ -142,6 +142,25 @@ def test_cyclic_reduction_matches_dense():
         )
 
 
+def test_factorize_cholinv_matches_blocked():
+    """factorize(chol_impl='cholinv') — the While-loop-free variant — must
+    match the blocked-panel default to f32 roundoff at the flagship
+    block shape."""
+    from tpu_locoman.solver.qp import factorize, solve_factorized
+
+    rng = np.random.default_rng(11)
+    K, s = 15, 112
+    A = rng.standard_normal((K, s, s)).astype(np.float32)
+    H = jnp.asarray(A @ A.transpose(0, 2, 1) + 10 * np.eye(s, dtype=np.float32))
+    U = jnp.asarray(0.1 * rng.standard_normal((K - 1, s, s)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((K, s)).astype(np.float32))
+    x1 = np.asarray(solve_factorized(factorize(H, U), b))
+    x2 = np.asarray(
+        solve_factorized(factorize(H, U, chol_impl="cholinv"), b)
+    )
+    np.testing.assert_allclose(x2, x1, atol=1e-4 * (np.abs(x1).max() + 1))
+
+
 def test_admm_cyclic_matches_sequential():
     rng = np.random.default_rng(6)
     G, B, C, P = random_blocks(rng, N=6, m=5, ndx=4, nu=2)

@@ -268,11 +268,19 @@ def chol_blocked(S, panels=3):
     return jnp.concatenate(cols, axis=-1)
 
 
-def factorize(H, U):
+def factorize(H, U, chol_impl="blocked"):
     """Blocked Cholesky of the tridiagonal M via lax.scan.
 
     M = L L^T with L block lower-bidiagonal: L_{ii} = L_i,
     L_{i+1,i} = F_i^T where F_i = L_i^{-1} U_i.
+
+    chol_impl picks the per-node (s, s) inverse-Cholesky:
+      - "blocked": chol_blocked panels (XLA While-loop cholesky per panel)
+        + GEMM triangular inversion — the round-2 default.
+      - "cholinv": fully unrolled recursive chol_inv — no While loops at
+        all, so the scan body is pure fused-elementwise + GEMM dispatches
+        (the While iterations are launch-latency-bound on TPU; see
+        RESULTS.md tick anatomy).
     """
     s = H.shape[1]
 
@@ -282,8 +290,11 @@ def factorize(H, U):
         S = H_i - prev_F.T @ prev_F
         # f32 jitter: keeps the Schur complements SPD under roundoff
         S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
-        L_i = chol_blocked(S)
-        Linv_i = tri_inverse_lower(L_i)
+        if chol_impl == "cholinv":
+            L_i, Linv_i = chol_inv(S)
+        else:
+            L_i = chol_blocked(S)
+            Linv_i = tri_inverse_lower(L_i)
         F_i = Linv_i @ U_i
         return F_i, (L_i, Linv_i, F_i)
 
@@ -602,6 +613,8 @@ def _factorize_by_name(H, U, factorizer="sequential"):
         return factorize_pallas(H, U, interpret=interpret)
     if factorizer == "cyclic":
         return factorize_cyclic(H, U)
+    if factorizer == "cholinv":
+        return factorize(H, U, chol_impl="cholinv")
     return factorize(H, U)
 
 
@@ -675,7 +688,7 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
     # cyclic factors don't fit solve_factorized; fall back to sequential
     fac = _factorize_by_name(
         S_diag, S_off,
-        factorizer if factorizer == "pallas" else "sequential",
+        factorizer if factorizer in ("pallas", "cholinv") else "sequential",
     )
     lam = solve_factorized(fac, rhs)
     for _ in range(refine):
