@@ -37,8 +37,14 @@ def last_json(path):
 
 
 def main():
+    # Default-candidate pool: the flagship-config runs (01-05) plus any
+    # explicitly named candidate logs passed on argv (round-3 follow-ups,
+    # e.g. cand_cholinv.log). Diagnostics (ABA, accurate, N=30) stay out.
+    patterns = ["0[1-5]_*.log"] + sys.argv[1:]
+    paths = sorted({p for pat in patterns
+                    for p in glob.glob(os.path.join(LOG, pat))})
     runs = {}
-    for p in sorted(glob.glob(os.path.join(LOG, "0[1-5]_*.log"))):
+    for p in paths:
         r = last_json(p)
         if not r:
             continue
