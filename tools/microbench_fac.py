@@ -92,7 +92,22 @@ def main():
     timeit(tri_solve_b, L0, label="trsm full (B,s,s)")
 
     fac_b = jax.jit(jax.vmap(factorize))
-    fac = timeit(fac_b, H, U, label="factorize")
+    fac = timeit(fac_b, H, U, label="factorize(blocked)")
+
+    # Round-3: the While-loop-free cholinv path at several recursion bases
+    # (dispatch-count/fusion tradeoff), plus the Pallas VMEM kernel.
+    import functools
+
+    for bs in (16, 28, 56):
+        f = jax.jit(jax.vmap(functools.partial(
+            factorize, chol_impl="cholinv", base=bs)))
+        timeit(f, H, U, label=f"factorize(cholinv{bs})")
+
+    if jax.default_backend() == "tpu":
+        from tpu_locoman.solver.pallas_fac import factorize_pallas
+
+        fp = jax.jit(jax.vmap(factorize_pallas))
+        timeit(fp, H, U, label="factorize(pallas)")
 
     fac0 = fac_b(H, U)
     solve_b = jax.jit(jax.vmap(solve_factorized))

@@ -268,7 +268,7 @@ def chol_blocked(S, panels=3):
     return jnp.concatenate(cols, axis=-1)
 
 
-def factorize(H, U, chol_impl="blocked"):
+def factorize(H, U, chol_impl="blocked", base=16):
     """Blocked Cholesky of the tridiagonal M via lax.scan.
 
     M = L L^T with L block lower-bidiagonal: L_{ii} = L_i,
@@ -291,7 +291,7 @@ def factorize(H, U, chol_impl="blocked"):
         # f32 jitter: keeps the Schur complements SPD under roundoff
         S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
         if chol_impl == "cholinv":
-            L_i, Linv_i = chol_inv(S)
+            L_i, Linv_i = chol_inv(S, base)
         else:
             L_i = chol_blocked(S)
             Linv_i = tri_inverse_lower(L_i)
