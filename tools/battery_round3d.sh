@@ -19,4 +19,10 @@ for f in sequential cholinv; do
   echo "=== anatomy_$f rc=$? $(date) ===" | tee -a "$LOG/summary.log"
   tail -12 "$LOG/anatomy_$f.log" | tee -a "$LOG/summary.log"
 done
+# ABA tick anatomy (VERDICT #4: where do its extra ~240 ms/tick go?)
+echo "=== anatomy_aba start $(date) ===" | tee -a "$LOG/summary.log"
+timeout 3600 env BENCH_DYNAMICS=whole_body_aba \
+  python tools/profile_cumulative.py > "$LOG/anatomy_aba.log" 2>&1
+echo "=== anatomy_aba rc=$? $(date) ===" | tee -a "$LOG/summary.log"
+tail -12 "$LOG/anatomy_aba.log" | tee -a "$LOG/summary.log"
 echo "ROUND3D DONE $(date)" | tee -a "$LOG/summary.log"

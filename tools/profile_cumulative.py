@@ -56,14 +56,15 @@ def main():
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
+    dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
     mpc = MPC(
         robot,
-        dynamics="whole_body_rnea",
+        dynamics=dynamics,
         nodes=nodes,
         config=SQPConfig(sqp_iters=1, admm=ADMMConfig(
             iters=admm_iters, factorizer=factorizer)),
     )
-    print(f"factorizer={factorizer}", flush=True)
+    print(f"factorizer={factorizer} dynamics={dynamics}", flush=True)
     trans = mpc.trans
     cfg = mpc.solver.cfg
 
