@@ -160,6 +160,19 @@ def test_factorize_cholinv_matches_blocked():
     )
     np.testing.assert_allclose(x2, x1, atol=1e-4 * (np.abs(x1).max() + 1))
 
+    # cholinv_pb: the lane-batched Pallas base kernel fires through its
+    # custom_vmap rule under the production vmap-over-scenarios
+    # (interpret mode off-TPU).
+    import functools
+
+    Hb = jnp.broadcast_to(H, (3,) + H.shape)
+    Ub = jnp.broadcast_to(U, (3,) + U.shape)
+    bb = jnp.broadcast_to(b, (3,) + b.shape)
+    fpb = jax.vmap(functools.partial(factorize, chol_impl="cholinv_pb"))
+    x3 = np.asarray(jax.vmap(solve_factorized)(fpb(Hb, Ub), bb))
+    np.testing.assert_allclose(
+        x3[0], x1, atol=1e-4 * (np.abs(x1).max() + 1))
+
 
 def test_admm_cyclic_matches_sequential():
     rng = np.random.default_rng(6)

@@ -103,6 +103,11 @@ def main():
             factorize, chol_impl="cholinv", base=bs)))
         timeit(f, H, U, label=f"factorize(cholinv{bs})")
 
+    for bs in (16, 28):
+        f = jax.jit(jax.vmap(functools.partial(
+            factorize, chol_impl="cholinv_pb", base=bs)))
+        timeit(f, H, U, label=f"factorize(cholinv_pb{bs})")
+
     if jax.default_backend() == "tpu":
         from tpu_locoman.solver.pallas_fac import factorize_pallas
 

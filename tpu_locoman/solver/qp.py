@@ -202,7 +202,31 @@ def _tri_inv_doubling(L, dinv):
     return P * dinv[..., None, :]
 
 
-def chol_inv(S, base=16):
+from jax.custom_batching import custom_vmap
+
+
+@custom_vmap
+def _chol_inv_base_cv(S):
+    """Linv of one small (b, b) SPD base block.
+
+    Unbatched: the XLA unrolled path. Batched (the production
+    vmap-over-scenarios): one lane-batched Pallas call for the whole
+    batch (solver/pallas_base.py) — the unrolled chain as straight-line
+    in-kernel vector code instead of thousands of tiny dispatched XLA ops
+    (the round-1 'unrolled chol_inv 10x slower' failure mode)."""
+    L, dinv = _chol_base_unrolled(S)
+    return _tri_inv_doubling(L, dinv)
+
+
+@_chol_inv_base_cv.def_vmap
+def _chol_inv_base_cv_vmap(axis_size, in_batched, S):
+    from .pallas_base import chol_inv_base_batched
+
+    interpret = jax.default_backend() != "tpu"
+    return chol_inv_base_batched(S, interpret=interpret), True
+
+
+def chol_inv(S, base=16, base_impl="xla"):
     """(L, Linv) of an SPD block with NO data-dependent control flow.
 
     Recursive 2x2 block Cholesky: the diagonal chain is inherently
@@ -210,23 +234,34 @@ def chol_inv(S, base=16):
     elementwise chain — no While loops, so the 15-node factorization scan
     stops being launch-latency-bound (measured: the in-context
     assemble+factorize was 127 ms of a 246 ms MPC tick with XLA's loop
-    cholesky/trsm; see RESULTS.md round 2)."""
+    cholesky/trsm; see RESULTS.md round 2).
+
+    base_impl='pallas' computes the base blocks with the lane-batched
+    Pallas micro-kernel (L is not materialized for the bases then — only
+    Linv, which is all the factorization consumes)."""
     s = S.shape[-1]
     if s <= base:
+        if base_impl == "pallas":
+            Linv = _chol_inv_base_cv(S)
+            return None, Linv
         L, dinv = _chol_base_unrolled(S)
         return L, _tri_inv_doubling(L, dinv)
     k = (s + 1) // 2
-    L1, L1i = chol_inv(S[..., :k, :k], base)
+    L1, L1i = chol_inv(S[..., :k, :k], base, base_impl)
     L21 = jnp.einsum("...ij,...kj->...ik", S[..., k:, :k], L1i)
     S2 = S[..., k:, k:] - jnp.einsum("...ij,...kj->...ik", L21, L21)
-    L2, L2i = chol_inv(S2, base)
+    L2, L2i = chol_inv(S2, base, base_impl)
     B21 = -jnp.einsum("...ij,...jk,...kl->...il", L2i, L21, L1i)
     bshape = S.shape[:-2]
     zer = jnp.zeros(bshape + (k, s - k), dtype=S.dtype)
-    L = jnp.concatenate([
-        jnp.concatenate([L1, zer], axis=-1),
-        jnp.concatenate([L21, L2], axis=-1),
-    ], axis=-2)
+    # the Pallas base path materializes only Linv (all the factorization
+    # consumes); L is assembled only when the bases produced it
+    L = None
+    if L1 is not None and L2 is not None:
+        L = jnp.concatenate([
+            jnp.concatenate([L1, zer], axis=-1),
+            jnp.concatenate([L21, L2], axis=-1),
+        ], axis=-2)
     Linv = jnp.concatenate([
         jnp.concatenate([L1i, zer], axis=-1),
         jnp.concatenate([B21, L2i], axis=-1),
@@ -281,8 +316,12 @@ def factorize(H, U, chol_impl="blocked", base=16):
         all, so the scan body is pure fused-elementwise + GEMM dispatches
         (the While iterations are launch-latency-bound on TPU; see
         RESULTS.md tick anatomy).
+      - "cholinv_pb": chol_inv with the lane-batched Pallas base kernel
+        (solver/pallas_base.py) — the base blocks for the whole scenario
+        batch in one kernel call per recursion leaf.
     """
     s = H.shape[1]
+    base_impl = "pallas" if chol_impl == "cholinv_pb" else "xla"
 
     def step(carry, inp):
         prev_F = carry  # F_{i-1} (or zeros for i=0)
@@ -290,16 +329,16 @@ def factorize(H, U, chol_impl="blocked", base=16):
         S = H_i - prev_F.T @ prev_F
         # f32 jitter: keeps the Schur complements SPD under roundoff
         S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
-        if chol_impl == "cholinv":
-            L_i, Linv_i = chol_inv(S, base)
+        if chol_impl.startswith("cholinv"):
+            _, Linv_i = chol_inv(S, base, base_impl)
         else:
             L_i = chol_blocked(S)
             Linv_i = tri_inverse_lower(L_i)
         F_i = Linv_i @ U_i
-        return F_i, (L_i, Linv_i, F_i)
+        return F_i, (Linv_i, F_i)
 
     U_pad = jnp.concatenate([U, jnp.zeros((1, s, s), dtype=H.dtype)], axis=0)
-    _, (L, Linv, F) = lax.scan(
+    _, (Linv, F) = lax.scan(
         step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad)
     )
     # Pre-multiplied scan couplings (see BlockTridiagFactor): node-parallel
@@ -613,8 +652,8 @@ def _factorize_by_name(H, U, factorizer="sequential"):
         return factorize_pallas(H, U, interpret=interpret)
     if factorizer == "cyclic":
         return factorize_cyclic(H, U)
-    if factorizer == "cholinv":
-        return factorize(H, U, chol_impl="cholinv")
+    if factorizer in ("cholinv", "cholinv_pb"):
+        return factorize(H, U, chol_impl=factorizer)
     return factorize(H, U)
 
 
@@ -688,7 +727,8 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
     # cyclic factors don't fit solve_factorized; fall back to sequential
     fac = _factorize_by_name(
         S_diag, S_off,
-        factorizer if factorizer in ("pallas", "cholinv") else "sequential",
+        factorizer if factorizer in ("pallas", "cholinv", "cholinv_pb")
+        else "sequential",
     )
     lam = solve_factorized(fac, rhs)
     for _ in range(refine):
