@@ -39,11 +39,16 @@ class ADMMConfig(NamedTuple):
     # (6-pass bf16 on TPU); "BF16_BF16_F32_X3" halves the pass count at
     # ~1e-6 relative error, usually indistinguishable at ADMM tolerances.
     precision: str = "highest"
-    # "sequential" blocked Cholesky (depth N+1), "cyclic" block cyclic
-    # reduction (depth log2(N+1), parallel-Riccati style), or "pallas"
-    # (the sequential recurrence as ONE TPU kernel per scenario, VMEM-
-    # resident — solver/pallas_fac.py; falls back to the interpreter off
-    # TPU).
+    # "sequential" blocked Cholesky (depth N+1), "cholinv" the same scan
+    # with the fully unrolled inverse-Cholesky (no XLA While loops —
+    # hardware-adjudicated batch-512 default, SHIPPING.json: 2594 vs 1820
+    # solves/s/chip round 3), "cholinv_pb" cholinv with the lane-batched
+    # Pallas base kernel (solver/pallas_base.py), "cyclic" block cyclic
+    # reduction (depth log2(N+1), parallel-Riccati style — measured
+    # slower at N=14 and N=30), or "pallas" (the whole recurrence as ONE
+    # TPU kernel per scenario, VMEM-resident — solver/pallas_fac.py;
+    # best at batch 1, serializes the batch on the TensorCore otherwise;
+    # falls back to the interpreter off TPU).
     factorizer: str = "sequential"
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
