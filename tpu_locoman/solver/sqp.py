@@ -121,17 +121,17 @@ class SQPSolver:
             f = t.objective_value(Zc, obj)
             g = t.evaluate(Zc, stage_params, shared)
             viol = jnp.maximum(0.0, l_b - g) + jnp.maximum(0.0, g - u_b)
-            return f, jnp.sqrt(jnp.sum(viol * viol)), jnp.max(viol)
+            return f, jnp.sqrt(jnp.sum(viol * viol)), jnp.max(viol), g
 
-        new_fs, new_gs, new_maxv = jax.vmap(merit)(alphas)
+        new_fs, new_gs, new_maxv, new_res = jax.vmap(merit)(alphas)
 
         f0 = t.objective_value(Z, obj)
         g0 = self._violation(g_at_Z, l_b, u_b)  # reuse linearize's residual
         armijo_metric = jnp.sum(t.objective_gradient(Z, obj) * d)
 
         def step(carry, inp):
-            accepted, alpha_acc, maxv_acc = carry
-            alpha_k, new_f, new_g, new_mv = inp
+            accepted, alpha_acc, maxv_acc, g_acc = carry
+            alpha_k, new_f, new_g, new_mv, new_r = inp
             # Acceptance rules (ocp.py:448-467), evaluated against the
             # incumbent iterate (f0, g0). The reference compares against the
             # previous *trial* instead, which lets a diverging step get
@@ -159,17 +159,22 @@ class SQPSolver:
             accept_now = (~accepted) & (c1 | c2 | c3)
             alpha_acc = jnp.where(accept_now, alpha_k, alpha_acc)
             maxv_acc = jnp.where(accept_now, new_mv, maxv_acc)
-            return (accepted | accept_now, alpha_acc, maxv_acc), None
+            g_acc = jnp.where(accept_now, new_r, g_acc)
+            return (accepted | accept_now, alpha_acc, maxv_acc, g_acc), None
 
         # max violation at the incumbent (for the rejected-everything case)
         viol0 = jnp.maximum(0.0, l_b - g_at_Z) + jnp.maximum(0.0, g_at_Z - u_b)
-        (accepted, alpha_acc, maxv_acc), _ = lax.scan(
+        (accepted, alpha_acc, maxv_acc, g_acc), _ = lax.scan(
             step,
-            (jnp.array(False), jnp.zeros((), Z.dtype), jnp.max(viol0)),
-            (alphas, new_fs, new_gs, new_maxv),
+            (jnp.array(False), jnp.zeros((), Z.dtype), jnp.max(viol0),
+             g_at_Z),
+            (alphas, new_fs, new_gs, new_maxv, new_res),
         )
         alpha = jnp.where(accepted, alpha_acc, 0.0)
-        return Z + alpha * d, alpha, maxv_acc
+        # g_acc is evaluate() at the RETURNED iterate Z + alpha d (the
+        # incumbent's residual if every trial was rejected) — callers (the
+        # corrector) reuse it instead of paying another evaluate.
+        return Z + alpha * d, alpha, maxv_acc, g_acc
 
     def solve(self, state: SolverState, stage_params, shared):
         """One MPC solve. Returns (new_state, stats dict).
@@ -194,8 +199,9 @@ class SQPSolver:
         def one_iteration(Z, z_admm, y_admm, admm_cfg, want_work):
             """One full SQP iteration: linearize -> ADMM QP -> line search.
 
-            Returns (Z, z_admm, y_admm, alpha, max_viol, bad, d, qp_work)
-            with qp_work None unless want_work."""
+            Returns (Z, z_admm, y_admm, alpha, max_viol, bad, d, qp_work,
+            g_new) with qp_work None unless want_work; g_new is
+            evaluate() at the returned Z (reused by the corrector)."""
             g, G, B, C = t.linearize(Z, stage_params, shared)
             q = t.objective_gradient(Z, obj)
             l = l_b - g
@@ -222,18 +228,19 @@ class SQPSolver:
             z_new = jnp.where(bad, jnp.zeros_like(z_new), z_new)
             y_new = jnp.where(bad, jnp.zeros_like(y_new), y_new)
             if cfg.line_search:
-                Z_new, alpha, max_viol = self._line_search(
+                Z_new, alpha, max_viol, g_new = self._line_search(
                     Z, d, obj, stage_params, shared, l_b, u_b, g
                 )
             else:
                 Z_new = Z + d
                 alpha = jnp.ones((), Z.dtype)
-                g_final = t.evaluate(Z_new, stage_params, shared)
-                viol = jnp.maximum(0.0, l_b - g_final) + jnp.maximum(
-                    0.0, g_final - u_b
+                g_new = t.evaluate(Z_new, stage_params, shared)
+                viol = jnp.maximum(0.0, l_b - g_new) + jnp.maximum(
+                    0.0, g_new - u_b
                 )
                 max_viol = jnp.max(viol)
-            return Z_new, z_new, y_new, alpha, max_viol, bad, d, qp_work
+            return (Z_new, z_new, y_new, alpha, max_viol, bad, d, qp_work,
+                    g_new)
 
         # Identical leading iterations run as a lax.scan so the (large:
         # linearize + factorize + ADMM) body is traced and COMPILED ONCE —
@@ -247,7 +254,7 @@ class SQPSolver:
 
             def scan_body(carry, _):
                 Z, z_admm, y_admm = carry
-                Z, z_admm, y_admm, *_ = one_iteration(
+                Z, z_admm, y_admm, *_rest = one_iteration(
                     Z, z_admm, y_admm, cfg.admm, False
                 )
                 return (Z, z_admm, y_admm), None
@@ -261,7 +268,7 @@ class SQPSolver:
             if cfg.admm_schedule is not None:
                 admm_cfg = admm_cfg._replace(iters=cfg.admm_schedule[it])
             want_work = cfg.corrector_iters > 0 and it == cfg.sqp_iters - 1
-            Z, z_admm, y_admm, alpha, max_viol, bad, d, qp_work = (
+            Z, z_admm, y_admm, alpha, max_viol, bad, d, qp_work, g_new = (
                 one_iteration(Z, z_admm, y_admm, admm_cfg, want_work)
             )
 
@@ -270,8 +277,11 @@ class SQPSolver:
             # iterate against the SAME linearization/factorization, warm
             # started from the main QP's ADMM state shifted by the taken
             # step (alpha*d): x0 = (1-alpha)d, z0 = z - alpha*A d.
+            # The residual at Z was already computed by the line search
+            # (its accepted trial's evaluate) — reuse it (~8 ms/tick at
+            # batch 512 on TPU).
             with jax.default_matmul_precision(cfg.admm.precision):
-                g2 = t.evaluate(Z, stage_params, shared)
+                g2 = g_new
                 q2 = t.objective_gradient(Z, obj)
                 Ad = _A_matvec(qp_work.A, qp_work.D, d, t.box_slots)
                 d2, z_admm, y_admm = run_iters(
