@@ -39,6 +39,9 @@ class ADMMConfig(NamedTuple):
     # (6-pass bf16 on TPU); "BF16_BF16_F32_X3" halves the pass count at
     # ~1e-6 relative error, usually indistinguishable at ADMM tolerances.
     precision: str = "highest"
+    # "auto" (default) resolves at trace time: cholinv_pb on TPU (the
+    # hardware-adjudicated batch winner, SHIPPING.json), sequential
+    # elsewhere (cholinv_pb's Pallas base kernel would run interpreted).
     # "sequential" blocked Cholesky (depth N+1), "cholinv" the same scan
     # with the fully unrolled inverse-Cholesky (no XLA While loops —
     # hardware-adjudicated batch-512 default, SHIPPING.json: 2594 vs 1820
@@ -49,7 +52,7 @@ class ADMMConfig(NamedTuple):
     # TPU kernel per scenario, VMEM-resident — solver/pallas_fac.py;
     # best at batch 1, serializes the batch on the TensorCore otherwise;
     # falls back to the interpreter off TPU).
-    factorizer: str = "sequential"
+    factorizer: str = "auto"
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
     matvec_dtype: str = "float32"
@@ -643,6 +646,9 @@ def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
 
 def _factorize_by_name(H, U, factorizer="sequential"):
     """Factorizer dispatch shared by prepare/kkt_polish/eq_project."""
+    if factorizer == "auto":
+        factorizer = ("cholinv_pb" if jax.default_backend() == "tpu"
+                      else "sequential")
     if factorizer == "pallas":
         from .pallas_fac import factorize_pallas
 
@@ -732,7 +738,8 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
     # cyclic factors don't fit solve_factorized; fall back to sequential
     fac = _factorize_by_name(
         S_diag, S_off,
-        factorizer if factorizer in ("pallas", "cholinv", "cholinv_pb")
+        factorizer if factorizer in ("pallas", "cholinv", "cholinv_pb",
+                                     "auto")
         else "sequential",
     )
     lam = solve_factorized(fac, rhs)
