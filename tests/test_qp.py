@@ -162,16 +162,24 @@ def test_factorize_cholinv_matches_blocked():
 
     # cholinv_pb: the lane-batched Pallas base kernel fires through its
     # custom_vmap rule under the production vmap-over-scenarios
-    # (interpret mode off-TPU).
+    # (interpret mode off-TPU). Three INDEPENDENT systems so distinct
+    # lanes (and the identity-padding path) carry distinct data, each
+    # lane checked against its own blocked-factorizer solution (ADVICE r3).
     import functools
 
-    Hb = jnp.broadcast_to(H, (3,) + H.shape)
-    Ub = jnp.broadcast_to(U, (3,) + U.shape)
-    bb = jnp.broadcast_to(b, (3,) + b.shape)
+    As = rng.standard_normal((3,) + A.shape).astype(np.float32)
+    Hb = jnp.asarray(
+        As @ As.transpose(0, 1, 3, 2) + 10 * np.eye(s, dtype=np.float32))
+    Ub = jnp.asarray(
+        0.1 * rng.standard_normal((3,) + U.shape).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal((3,) + b.shape).astype(np.float32))
     fpb = jax.vmap(functools.partial(factorize, chol_impl="cholinv_pb"))
     x3 = np.asarray(jax.vmap(solve_factorized)(fpb(Hb, Ub), bb))
-    np.testing.assert_allclose(
-        x3[0], x1, atol=1e-4 * (np.abs(x1).max() + 1))
+    for lane in range(3):
+        ref = np.asarray(
+            solve_factorized(factorize(Hb[lane], Ub[lane]), bb[lane]))
+        np.testing.assert_allclose(
+            x3[lane], ref, atol=1e-4 * (np.abs(ref).max() + 1))
 
 
 def test_admm_cyclic_matches_sequential():

@@ -32,9 +32,36 @@ for _t in (SolverState, MPCCarry):
         pass  # already registered
 
 
-def export_mpc_step(mpc, path=None):
+def _export(fn, args, path, platforms):
+    """Shared export: when a single target platform is given, trace with the
+    solver's target-platform override so factorizer='auto' and the Pallas
+    interpret flag resolve for the ARTIFACT's platform, not this host's
+    backend (ADVICE r3: a CPU-host TPU export must keep cholinv_pb)."""
+    from .solver.qp import override_target_platform
+
+    kw = {}
+    ctx = None
+    if platforms:
+        kw["platforms"] = list(platforms)
+        if len(platforms) == 1:
+            ctx = override_target_platform(platforms[0])
+    if ctx is not None:
+        with ctx:
+            exported = jexp.export(jax.jit(fn), **kw)(*args)
+    else:
+        exported = jexp.export(jax.jit(fn), **kw)(*args)
+    data = exported.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def export_mpc_step(mpc, path=None, platforms=None):
     """Export one jitted MPC tick as a serialized StableHLO artifact.
 
+    `platforms`: jax.export target platform list (e.g. ["tpu"]); a single
+    entry also pins the solver's auto-factorizer to that platform.
     Returns the serialized bytes (and writes them to `path` if given).
     """
     carry = mpc.init_carry()
@@ -52,15 +79,10 @@ def export_mpc_step(mpc, path=None):
         jnp.zeros(3, dtype=jnp.float32),
         jnp.zeros(3, dtype=jnp.float32),
     )
-    exported = jexp.export(jax.jit(step))(*args)
-    data = exported.serialize()
-    if path:
-        with open(path, "wb") as f:
-            f.write(data)
-    return data
+    return _export(step, args, path, platforms)
 
 
-def export_retract(mpc, num_steps=3, path=None):
+def export_retract(mpc, num_steps=3, path=None, platforms=None):
     """Export the solution retraction for the first num_steps nodes — the
     analog of the generated retract_solution.c (hardware-side decode)."""
     def retract(Z, x_init):
@@ -71,12 +93,7 @@ def export_retract(mpc, num_steps=3, path=None):
         jnp.zeros((mpc.nodes + 1, mpc.trans.s), dtype=jnp.float32),
         jnp.zeros(mpc.form.nx, dtype=jnp.float32),
     )
-    exported = jexp.export(jax.jit(retract))(*args)
-    data = exported.serialize()
-    if path:
-        with open(path, "wb") as f:
-            f.write(data)
-    return data
+    return _export(retract, args, path, platforms)
 
 
 def load_artifact(data_or_path):

@@ -831,7 +831,10 @@ def _aba_factor_solve(model, q, v, tau, ee_frames, forces_world):
 
     M = crba(model, q)
     bias = rnea(model, q, v, jnp.zeros(model.nv), ee_frames, forces_world)
-    _, Linv = chol_inv(M)
+    # Same SPD jitter factorize() uses before chol_inv: the explicit-inverse
+    # solve loses ~cond(M)^2 accuracy in f32 near singular configurations,
+    # so keep the factor bounded away from singular (ADVICE r3).
+    _, Linv = chol_inv(M + 1e-6 * jnp.eye(model.nv, dtype=M.dtype))
     rhs = tau - bias
     a = Linv.T @ (Linv @ rhs)
     return a, Linv

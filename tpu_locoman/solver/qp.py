@@ -212,6 +212,31 @@ def _tri_inv_doubling(L, dinv):
 
 from jax.custom_batching import custom_vmap
 
+# Platform the solver is being traced FOR.  jax.default_backend() answers
+# "what platform is this process running on", which is wrong when a CPU host
+# AOT-exports a TPU artifact (aot.py): 'auto' would bake 'sequential' and the
+# Pallas interpret flag into the TPU module.  aot.export_* sets this override
+# to the export target for the duration of tracing (ADVICE r3).
+_TARGET_PLATFORM = [None]
+
+
+def target_platform():
+    return _TARGET_PLATFORM[0] or jax.default_backend()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def override_target_platform(platform):
+    """Trace-for-`platform` context used by cross-platform jax.export."""
+    prev = _TARGET_PLATFORM[0]
+    _TARGET_PLATFORM[0] = platform
+    try:
+        yield
+    finally:
+        _TARGET_PLATFORM[0] = prev
+
 
 @custom_vmap
 def _chol_inv_base_cv(S):
@@ -230,7 +255,14 @@ def _chol_inv_base_cv(S):
 def _chol_inv_base_cv_vmap(axis_size, in_batched, S):
     from .pallas_base import chol_inv_base_batched
 
-    interpret = jax.default_backend() != "tpu"
+    if not in_batched[0]:
+        # S is closed over (unbatched under this vmap): keep the plain XLA
+        # path and report the output unbatched — feeding rank-2 data to the
+        # lane-batched kernel would fail with a confusing unpack error
+        # (ADVICE r3).
+        L, dinv = _chol_base_unrolled(S)
+        return _tri_inv_doubling(L, dinv), False
+    interpret = target_platform() != "tpu"
     return chol_inv_base_batched(S, interpret=interpret), True
 
 
@@ -647,12 +679,12 @@ def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
 def _factorize_by_name(H, U, factorizer="sequential"):
     """Factorizer dispatch shared by prepare/kkt_polish/eq_project."""
     if factorizer == "auto":
-        factorizer = ("cholinv_pb" if jax.default_backend() == "tpu"
+        factorizer = ("cholinv_pb" if target_platform() == "tpu"
                       else "sequential")
     if factorizer == "pallas":
         from .pallas_fac import factorize_pallas
 
-        interpret = jax.default_backend() != "tpu"
+        interpret = target_platform() != "tpu"
         if interpret:
             import warnings
 
