@@ -251,3 +251,47 @@ def test_rnea_ad_custom_jvp_matches_ad_through_decode():
             np.testing.assert_allclose(
                 np.asarray(a_), np.asarray(b_), atol=3e-6 * scale
             )
+
+
+def test_rnea_derivatives_flat_lane_major_matches_per_instance():
+    """The lane-major flat batch implementation (_rnea_derivatives_flat)
+    and its nested custom_vmap delivery (_rnea_derivs_cv) must match the
+    per-instance analytic pass on independently sampled instances, under
+    both a single vmap (the node axis) and nested vmap (scenarios x
+    nodes) — the production linearize composition."""
+    from tpu_locoman import B2G
+
+    robot = B2G()
+    model = robot.model
+    ee = tuple(robot.FOOT_FRAMES) + (
+        (robot.ext_force_frame,) if robot.ext_force_frame else ())
+    rng = np.random.default_rng(11)
+    B = 4
+    qs = []
+    for _ in range(B):
+        q = np.array(robot.q0, dtype=np.float32).copy()
+        q[:3] += rng.standard_normal(3).astype(np.float32) * 0.1
+        quat = rng.standard_normal(4).astype(np.float32)
+        q[3:7] = quat / np.linalg.norm(quat)
+        q[7:] += rng.standard_normal(model.nq - 7).astype(np.float32) * 0.3
+        qs.append(q)
+    qs = jnp.asarray(np.stack(qs))
+    vs = jnp.asarray(rng.standard_normal((B, model.nv)).astype(np.float32))
+    aas = jnp.asarray(rng.standard_normal((B, model.nv)).astype(np.float32))
+    fs = jnp.asarray(
+        rng.standard_normal((B, 3 * len(ee))).astype(np.float32))
+
+    ref = [rbda.rnea_derivatives(model, qs[i], vs[i], aas[i], ee, fs[i])
+           for i in range(B)]
+    cv = rbda._rnea_derivs_cv(model, ee, True)
+
+    out1 = jax.vmap(cv)(qs, vs, aas, fs)
+    out2 = jax.vmap(jax.vmap(cv))(
+        qs.reshape(2, 2, -1), vs.reshape(2, 2, -1),
+        aas.reshape(2, 2, -1), fs.reshape(2, 2, -1))
+    for k in range(4):
+        r = np.stack([np.asarray(x[k]) for x in ref])
+        tol = 2e-4 * (np.abs(r).max() + 1)
+        np.testing.assert_allclose(np.asarray(out1[k]), r, atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(out2[k]).reshape(r.shape), r, atol=tol)

@@ -699,6 +699,248 @@ def rnea_derivatives(model, q, v, a, ee_frames=(), forces_world=None):
     return dtau_dq, dtau_dv, dtau_da, dtau_df
 
 
+# ---------------------------------------------------------------------------
+# Lane-major batched RNEA derivatives.
+#
+# The per-instance analytic pass above builds (n, nv, 6)-shaped temporaries.
+# Under vmap the batch lands in the LEADING axis, so XLA tiles the trailing
+# (nv, 6) onto (sublane=8, lane=128) — the 6-wide lane dim pads 21x and the
+# whole pass runs at ~1/20 of HBM speed (measured 72 ms at batch 512 x N14 on
+# TPU v5e vs 4.8 ms for the rnea forward). This variant keeps the FLAT batch
+# in the TRAILING (lane) axis for every heavy einsum, so tiles are dense.
+# Delivered through a nested custom_vmap (the solver/pallas_base.py pattern):
+# vmap #1 (nodes) switches to the flat implementation, vmap #2+ (scenarios)
+# merges into the existing flat batch.
+# ---------------------------------------------------------------------------
+
+
+def _mcross_tb(m1, m2):
+    """motion_cross with the spatial axis at -2 and batch trailing."""
+    v1, w1 = m1[..., :3, :], m1[..., 3:, :]
+    v2, w2 = m2[..., :3, :], m2[..., 3:, :]
+    return jnp.concatenate(
+        [jnp.cross(w1, v2, axis=-2) + jnp.cross(v1, w2, axis=-2),
+         jnp.cross(w1, w2, axis=-2)], axis=-2)
+
+
+def _fcross_tb(m, f):
+    """motion_cross_star with the spatial axis at -2 and batch trailing."""
+    v, w = m[..., :3, :], m[..., 3:, :]
+    fl, tau = f[..., :3, :], f[..., 3:, :]
+    return jnp.concatenate(
+        [jnp.cross(w, fl, axis=-2),
+         jnp.cross(w, tau, axis=-2) + jnp.cross(v, fl, axis=-2)], axis=-2)
+
+
+def _rnea_derivatives_flat(model, q, v, a, ee_frames=(), forces_world=None):
+    """rnea_derivatives over a flat LEADING batch (B, ...) with lane-major
+    (trailing-batch) internals — numerically equivalent to mapping
+    rnea_derivatives over axis 0 (same formulas; float addition order may
+    differ).
+
+    XLA-canonicalization note: einsums carrying b in BOTH operands become
+    dot_generals with b as a (major) batch dim, undoing the layout (see
+    /tmp round-4 measurements: einsum variant = 72 ms, same as leading-
+    batch). So the tiny spatial contractions (over e/d = 6) are unrolled
+    into elementwise broadcast-multiply sums — which fuse with b minor —
+    and only the constant-ancestry contractions run as real GEMMs with b
+    folded into the free dimension."""
+    anc = jnp.asarray(_ancestry_mask(model))  # (n, nv) constant
+    ancT = anc.T
+    dof_link = np.asarray(_link_of_dof(model))
+    nv = model.nv
+
+    def chain(q1):
+        R_w, p_w = fk(model, q1)
+        Sw = _world_motion_axes(model, R_w, p_w)
+        I_w = _world_inertias(model, R_w, p_w)
+        return jnp.stack(R_w), jnp.stack(p_w), Sw, I_w
+
+    # The 19-step 3x3 chain walk stays a leading-batch vmap (small-op
+    # pipelines; measured inside the 4.8 ms forward). Everything heavy
+    # below is trailing-batch.
+    R_w, p_w, Sw, I_w = jax.vmap(chain)(q)
+
+    St = jnp.moveaxis(Sw, 0, -1)  # (nv, 6, B)
+    It = jnp.moveaxis(I_w, 0, -1)  # (n, 6, 6, B)
+    vt = v.T  # (nv, B)
+    at = a.T
+
+    def anc_n(X):
+        """sum_m anc[n, m] X[m, ..., b] -> (n, ..., b): a constant-matrix
+        GEMM with b inside the flattened free dim."""
+        return jnp.tensordot(anc, X, axes=([1], [0]))
+
+    def anc_k(X):
+        """sum_n anc[n, k] X[n, ..., b] -> (k, ..., b)."""
+        return jnp.tensordot(ancT, X, axes=([1], [0]))
+
+    def I_dot(Y):
+        """sum_e It[n, d, e, b] Y[n, ..., e, b] -> (n, ..., d, b), with the
+        e contraction unrolled so everything stays elementwise over b."""
+        extra = Y.ndim - 3  # axes between n and e
+        idx_n = (slice(None),) + (None,) * extra
+        return sum(
+            It[:, :, e, :][idx_n] * Y[..., e, :][..., None, :]
+            for e in range(6)
+        )
+
+    svt = St * vt[:, None, :]  # (nv, 6, B)
+    Vl = anc_n(svt)  # (n, 6, B) link velocities
+    Vdof = Vl[dof_link]  # (nv, 6, B)
+    sdot = _mcross_tb(Vdof, St)  # (nv, 6, B)
+
+    g_vec = jnp.concatenate([jnp.array([0.0, 0.0, GRAVITY]), jnp.zeros(3)])
+    sa = St * at[:, None, :] + sdot * vt[:, None, :]
+    A = anc_n(sa) + g_vec[None, :, None]
+    Iv = I_dot(Vl)
+    IA = I_dot(A)
+    f = IA + _fcross_tb(Vl, Iv)  # (n, 6, B)
+
+    DM = anc[dof_link]  # (nv, nv) constant
+    AL = anc[:, :, None, None]  # (n, nv, 1, 1) subtree mask
+
+    # --- d/da: sum_n sum_d anc[n,k] anc[n,m] St[k,d,b] I_dot(St)[n,m,d,b]
+    ISm = I_dot(jnp.broadcast_to(St[None], (It.shape[0],) + St.shape))
+    Z = anc_k(AL * ISm)  # (k, m, d, b)
+    dtau_da = sum(St[:, d, :][:, None, :] * Z[:, :, d, :] for d in range(6))
+
+    # --- shared ----------------------------------------------------------
+    # Vt[n,j,d,b] = sum_m anc[n,m] DM[m,j] svt[m,d,b]
+    Vt = anc_n(DM[:, :, None, None] * svt[:, None, :, :])  # (n, nv, 6, B)
+    dV_q = _mcross_tb(St[None], Vt)  # (n, nv, 6, B)
+
+    # --- d/dv ------------------------------------------------------------
+    dV_v = AL * St[None]  # (n, nv, 6, B)
+    dA_v = dV_q + AL * sdot[None]
+    df_v = I_dot(dA_v) + _fcross_tb(dV_v, Iv[:, None]) + _fcross_tb(
+        Vl[:, None], I_dot(dV_v)
+    )
+    Zv = anc_k(df_v)  # (k, m, d, b)
+    dtau_dv = sum(St[:, d, :][:, None, :] * Zv[:, :, d, :] for d in range(6))
+
+    # --- d/dq (local tangent) ---------------------------------------------
+    crossSS = _mcross_tb(St[None], St[:, None])  # [m, j] = s_j x s_m
+    dS = DM[:, :, None, None] * crossSS  # (nv_m, nv_j, 6, B)
+    dsdot = _mcross_tb(dV_q[dof_link], St[:, None]) + DM[
+        :, :, None, None
+    ] * _mcross_tb(Vdof[:, None], crossSS)
+    dA_q = anc_n(dS * at[:, None, None, :] + dsdot * vt[:, None, None, :])
+    dIA = AL * (
+        _fcross_tb(St[None], IA[:, None])
+        - I_dot(_mcross_tb(St[None], A[:, None]))
+    ) + I_dot(dA_q)
+    dIv = AL * (
+        _fcross_tb(St[None], Iv[:, None])
+        - I_dot(_mcross_tb(St[None], Vl[:, None]))
+    ) + I_dot(dV_q)
+    df_q = dIA + _fcross_tb(dV_q, Iv[:, None]) + _fcross_tb(Vl[:, None], dIv)
+
+    # --- external frame forces -------------------------------------------
+    dtau_df = None
+    if forces_world is not None and len(ee_frames) > 0:
+        df_cols = []
+        for idx, fname in enumerate(ee_frames):
+            fr = model.frames[fname]
+            jid = fr.parent_joint
+            fw = forces_world[:, 3 * idx: 3 * idx + 3].T  # (3, B)
+            p_f = (
+                jnp.einsum("bde,e->db", R_w[:, jid], jnp.asarray(fr.p))
+                + p_w[:, jid].T
+            )  # (3, B)
+            f = f.at[jid].add(
+                -jnp.concatenate([fw, jnp.cross(p_f, fw, axis=0)], axis=0)
+            )
+            arm = St[:, :3, :] + jnp.cross(St[:, 3:, :], p_f[None], axis=1)
+            dp_f = anc[jid][:, None, None] * arm  # (nv, 3, B)
+            dFx = jnp.concatenate(
+                [jnp.zeros_like(dp_f),
+                 jnp.cross(dp_f, fw[None], axis=1)], axis=1)
+            df_q = df_q.at[jid].add(-dFx)
+            df_cols.append(-anc[jid][:, None, None] * arm)
+        dtau_df = jnp.concatenate(df_cols, axis=1)  # (nv, 3*n_frames, B)
+
+    F_dof = anc_k(f)  # (nv, 6, B) subtree force sums (ext forces included)
+    Zq = anc_k(df_q)  # (k, j, d, b)
+    dtau_dq = sum(
+        dS[:, :, d, :] * F_dof[:, d, :][:, None, :]
+        + St[:, d, :][:, None, :] * Zq[:, :, d, :]
+        for d in range(6)
+    )
+
+    outs = (jnp.moveaxis(dtau_dq, -1, 0), jnp.moveaxis(dtau_dv, -1, 0),
+            jnp.moveaxis(dtau_da, -1, 0))
+    if dtau_df is not None:
+        outs = outs + (jnp.moveaxis(dtau_df, -1, 0),)
+    return outs
+
+
+_DERIVS_CV_CACHE = {}
+
+
+def _rnea_derivs_cv(model, ee_frames, with_forces):
+    """Cached nested-custom_vmap wrapper around rnea_derivatives: unbatched
+    calls use the per-instance pass; the first vmap switches to the
+    lane-major flat implementation; deeper vmaps merge into its flat batch
+    (so vmap-over-scenarios x vmap-over-nodes becomes ONE flat lane-major
+    batch instead of (512, ..., 14) with 14 in the lane dim)."""
+    key = (id(model), tuple(ee_frames), bool(with_forces))
+    fn = _DERIVS_CV_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.custom_batching import custom_vmap
+
+    def _bcast(args, in_batched, axis_size):
+        return [x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+                for x, b in zip(args, in_batched)]
+
+    if with_forces:
+        @custom_vmap
+        def flat(q, v, a, fw):
+            return _rnea_derivatives_flat(model, q, v, a, ee_frames, fw)
+
+        @flat.def_vmap
+        def _flat_rule(axis_size, in_batched, *args):
+            args = _bcast(args, in_batched, axis_size)
+            outs = flat(*[x.reshape((-1,) + x.shape[2:]) for x in args])
+            outs = tuple(o.reshape((axis_size, -1) + o.shape[1:])
+                         for o in outs)
+            return outs, tuple(True for _ in outs)
+
+        @custom_vmap
+        def cv(q, v, a, fw):
+            return rnea_derivatives(model, q, v, a, ee_frames, fw)
+
+        @cv.def_vmap
+        def _cv_rule(axis_size, in_batched, *args):
+            outs = flat(*_bcast(args, in_batched, axis_size))
+            return outs, tuple(True for _ in outs)
+    else:
+        @custom_vmap
+        def flat(q, v, a):
+            return _rnea_derivatives_flat(model, q, v, a)
+
+        @flat.def_vmap
+        def _flat_rule(axis_size, in_batched, *args):
+            args = _bcast(args, in_batched, axis_size)
+            outs = flat(*[x.reshape((-1,) + x.shape[2:]) for x in args])
+            outs = tuple(o.reshape((axis_size, -1) + o.shape[1:])
+                         for o in outs)
+            return outs, tuple(True for _ in outs)
+
+        @custom_vmap
+        def cv(q, v, a):
+            return rnea_derivatives(model, q, v, a)[:3]
+
+        @cv.def_vmap
+        def _cv_rule(axis_size, in_batched, *args):
+            outs = flat(*_bcast(args, in_batched, axis_size))
+            return outs, tuple(True for _ in outs)
+
+    _DERIVS_CV_CACHE[key] = cv
+    return cv
+
+
 def _coord_to_tangent(model, q, dq_coords):
     """Map a configuration-coordinate tangent (nq) to the local tangent
     (nv) — the inverse chart map of model_integrate at the base point.
@@ -726,9 +968,14 @@ def _rnea_ad_jvp(model, ee_frames, primals, tangents):
     q, v, a, forces_world = primals
     dq, dv, da, df = tangents
     tau = rnea(model, q, v, a, ee_frames, forces_world)
-    dtau_dq, dtau_dv, dtau_da, dtau_df = rnea_derivatives(
-        model, q, v, a, ee_frames, forces_world
-    )
+    with_f = forces_world is not None and len(ee_frames) > 0
+    if with_f:
+        dtau_dq, dtau_dv, dtau_da, dtau_df = _rnea_derivs_cv(
+            model, ee_frames, True)(q, v, a, forces_world)
+    else:
+        dtau_dq, dtau_dv, dtau_da = _rnea_derivs_cv(
+            model, ee_frames, False)(q, v, a)
+        dtau_df = None
     t = _coord_to_tangent(model, q, dq)
     dtau = dtau_dq @ t + dtau_dv @ dv + dtau_da @ da
     if dtau_df is not None:
