@@ -878,6 +878,29 @@ def _rnea_derivatives_flat(model, q, v, a, ee_frames=(), forces_world=None):
 _DERIVS_CV_CACHE = {}
 
 
+def _derivs_batch(model, ee_frames, with_forces, q, v, a, fw=None):
+    """Flat-batch derivative dispatch: the Pallas VMEM kernel on TPU (the
+    XLA lane-major path still streams ~10 GB of intermediates through HBM),
+    the XLA path elsewhere. TPU_LOCOMAN_DERIVS=flat|pallas overrides."""
+    import os
+
+    from ._platform import target_platform
+
+    mode = os.environ.get("TPU_LOCOMAN_DERIVS", "auto")
+    if mode == "auto":
+        mode = "pallas" if target_platform() == "tpu" else "flat"
+    if mode == "pallas":
+        from .pallas_rbda import rnea_derivatives_pallas
+
+        interpret = target_platform() != "tpu"
+        return rnea_derivatives_pallas(
+            model, q, v, a, ee_frames if with_forces else (),
+            fw if with_forces else None, interpret=interpret)
+    if with_forces:
+        return _rnea_derivatives_flat(model, q, v, a, ee_frames, fw)
+    return _rnea_derivatives_flat(model, q, v, a)
+
+
 def _rnea_derivs_cv(model, ee_frames, with_forces):
     """Cached nested-custom_vmap wrapper around rnea_derivatives: unbatched
     calls use the per-instance pass; the first vmap switches to the
@@ -897,7 +920,7 @@ def _rnea_derivs_cv(model, ee_frames, with_forces):
     if with_forces:
         @custom_vmap
         def flat(q, v, a, fw):
-            return _rnea_derivatives_flat(model, q, v, a, ee_frames, fw)
+            return _derivs_batch(model, ee_frames, True, q, v, a, fw)
 
         @flat.def_vmap
         def _flat_rule(axis_size, in_batched, *args):
@@ -918,7 +941,7 @@ def _rnea_derivs_cv(model, ee_frames, with_forces):
     else:
         @custom_vmap
         def flat(q, v, a):
-            return _rnea_derivatives_flat(model, q, v, a)
+            return _derivs_batch(model, ee_frames, False, q, v, a)
 
         @flat.def_vmap
         def _flat_rule(axis_size, in_batched, *args):

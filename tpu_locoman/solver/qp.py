@@ -212,30 +212,11 @@ def _tri_inv_doubling(L, dinv):
 
 from jax.custom_batching import custom_vmap
 
-# Platform the solver is being traced FOR.  jax.default_backend() answers
-# "what platform is this process running on", which is wrong when a CPU host
-# AOT-exports a TPU artifact (aot.py): 'auto' would bake 'sequential' and the
-# Pallas interpret flag into the TPU module.  aot.export_* sets this override
-# to the export target for the duration of tracing (ADVICE r3).
-_TARGET_PLATFORM = [None]
-
-
-def target_platform():
-    return _TARGET_PLATFORM[0] or jax.default_backend()
-
-
-import contextlib
-
-
-@contextlib.contextmanager
-def override_target_platform(platform):
-    """Trace-for-`platform` context used by cross-platform jax.export."""
-    prev = _TARGET_PLATFORM[0]
-    _TARGET_PLATFORM[0] = platform
-    try:
-        yield
-    finally:
-        _TARGET_PLATFORM[0] = prev
+# Platform the solver is being traced FOR (see _platform.py): 'auto'
+# factorizer dispatch and the Pallas interpret flag must follow the export
+# TARGET, not this host's backend (ADVICE r3). Re-exported here because
+# aot.py and tests import them from this module.
+from .._platform import target_platform, override_target_platform  # noqa: F401
 
 
 @custom_vmap
