@@ -259,28 +259,54 @@ class Transcription:
         target constants are added back analytically) followed by the box
         row values (q_j, v_j[, tau_j]), sharing one decode + one chain
         pass. The box rows ride along for their VALUES only — their
-        Jacobians are exact selectors handled by the QP's box mode."""
+        Jacobians are exact selectors handled by the QP's box mode.
+
+        Quaternion-base models route the frame kinematics through
+        rbda.frame_kin_ad: the analytic custom JVP computes every frame's
+        velocity/placement Jacobian in one closed-form pass instead of AD
+        re-sweeping the fk chain per pullback row (17 ms of the 39 ms
+        linearize at batch 512 x N14 on TPU); the relative-to-base arm
+        composition is cheap algebra AD chains through exactly."""
         from .. import rbda
 
         form = self.form
         dxm = dx * sp.node0_mask
         d = form.decode(shared.x_init, dxm, u)
-        kin = rbda.fk_vel(form.model, d["q"], d["v"])
-        xy_rows, z_rows = [], []
-        for idx in range(form.n_feet):
-            c = sp.contact[idx]
-            vel = rbda.frame_velocity_from(
-                form.model, form.foot_frames[idx], *kin
-            )
-            xy_rows.append(sp.state_mask * c * vel[:2])
-            z_rows.append(sp.state_mask * vel[2][None])  # blend consts drop
-        rows = xy_rows + z_rows
-        if self.has_arm:
-            vel = rbda.frame_velocity_from(
-                form.model, form.arm_ee_frame, *kin,
-                relative_to_base=True, base_frame=form.base_frame,
-            )
-            rows.append(sp.state_mask * vel[:3])
+        sm = sp.state_mask
+        if form.model.base_type != "euler_zyx":
+            frames = tuple(form.foot_frames)
+            if self.has_arm:
+                frames = frames + (form.arm_ee_frame, form.base_frame)
+            vel, pos, R = rbda.frame_kin_ad(
+                form.model, frames, d["q"], d["v"])
+            xy_rows = [sm * sp.contact[i] * vel[i, :2]
+                       for i in range(form.n_feet)]
+            z_rows = [sm * vel[i, 2][None] for i in range(form.n_feet)]
+            rows = xy_rows + z_rows
+            if self.has_arm:
+                va, vb = vel[form.n_feet], vel[form.n_feet + 1]
+                rel_pos = pos[form.n_feet] - pos[form.n_feet + 1]
+                rel_lin = va[:3] - vb[:3] - jnp.cross(vb[3:], rel_pos)
+                rel_lin_b = R[form.n_feet + 1].T @ rel_lin
+                rows.append(
+                    sm * jnp.concatenate([rel_lin_b[:2], va[2:3]]))
+        else:
+            kin = rbda.fk_vel(form.model, d["q"], d["v"])
+            xy_rows, z_rows = [], []
+            for idx in range(form.n_feet):
+                c = sp.contact[idx]
+                vel = rbda.frame_velocity_from(
+                    form.model, form.foot_frames[idx], *kin
+                )
+                xy_rows.append(sm * c * vel[:2])
+                z_rows.append(sm * vel[2][None])  # blend consts drop
+            rows = xy_rows + z_rows
+            if self.has_arm:
+                vel = rbda.frame_velocity_from(
+                    form.model, form.arm_ee_frame, *kin,
+                    relative_to_base=True, base_frame=form.base_frame,
+                )
+                rows.append(sm * vel[:3])
         rows.append(d["q"][form.model.base_nq:])
         rows.append(d["v"][6:])
         if self.has_tau:

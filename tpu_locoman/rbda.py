@@ -976,6 +976,102 @@ def _coord_to_tangent(model, q, dq_coords):
     return jnp.concatenate([dp_t, dw, dq_coords[7:]])
 
 
+# ---------------------------------------------------------------------------
+# Frame kinematics with analytic derivatives.
+#
+# The velocity-row linearization used to reverse-sweep the fk_vel chain once
+# per constraint row (~15 cotangents/node: 17 ms of the 39 ms linearize at
+# batch 512 x N14 on TPU). The derivatives of LWA frame velocities,
+# positions, and rotations have tiny closed forms from the same world-frame
+# machinery as rnea_derivatives:
+#
+#   vel_f = [V_lin + V_ang x p_f, V_ang],  V = world-origin link twist
+#   d vel / dv_m   = anc[lf, m] [s_m_lin + s_m_ang x p_f, s_m_ang]
+#   d V / dq_j     = s_j x Vt[lf, j],  Vt = masked ancestor-twist sums
+#   d p_f / dq_j   = anc[lf, j] (s_j_lin + s_j_ang x p_f)
+#   d R_f / dq_j   = anc[lf, j] skew(s_j_ang) R_f
+#
+# (dq is the LOCAL tangent; the custom JVP maps coordinate tangents through
+# _coord_to_tangent like rnea_ad, so AD through decode/integrate stays
+# exact.) Quaternion base only.
+# ---------------------------------------------------------------------------
+
+
+def frame_kin_jac(model, frame_names, q, v):
+    """Analytic frame kinematics: per frame the LWA velocity (6,), world
+    position (3,), world rotation (3, 3), and their Jacobians wrt the
+    LOCAL q tangent and v. Returns a dict of stacked (nf, ...) arrays."""
+    R_w, p_w = fk(model, q)
+    anc = np.asarray(_ancestry_mask(model))  # (n, nv) constant
+    Sw = _world_motion_axes(model, R_w, p_w)  # (nv, 6)
+    sv = Sw * v[:, None]
+    dof_link = np.asarray(_link_of_dof(model))
+    DM = anc[dof_link]  # (nv, nv) constant
+
+    out = {k: [] for k in ("vel", "pos", "R", "Jq_vel", "Jv_vel",
+                           "Jq_pos", "Jq_R")}
+    for fname in frame_names:
+        fr = model.frames[fname]
+        lf = fr.parent_joint
+        a_row = jnp.asarray(anc[lf])  # (nv,)
+        R_f = R_w[lf] @ jnp.asarray(fr.R)
+        p_f = R_w[lf] @ jnp.asarray(fr.p) + p_w[lf]
+        V = a_row @ sv  # (6,) world-origin link twist
+        vel = jnp.concatenate([V[:3] + jnp.cross(V[3:], p_f), V[3:]])
+
+        # d/dv: the LWA frame Jacobian.
+        arm = a_row[:, None] * (
+            Sw[:, :3] + jnp.cross(Sw[:, 3:], p_f[None, :]))  # (nv, 3)
+        Jv = jnp.concatenate(
+            [arm.T, (a_row[:, None] * Sw[:, 3:]).T], axis=0)  # (6, nv)
+
+        # d/dq (local tangent): dV[j] = s_j x Vt[j].
+        Vt = (anc[lf][:, None] * DM).T @ sv  # (nv_j, 6)
+        dV = jnp.concatenate(
+            [jnp.cross(Sw[:, 3:], Vt[:, :3]) + jnp.cross(Sw[:, :3], Vt[:, 3:]),
+             jnp.cross(Sw[:, 3:], Vt[:, 3:])], axis=1)  # (nv, 6)
+        dpt = (dV[:, :3] + jnp.cross(dV[:, 3:], p_f[None, :])
+               + jnp.cross(V[3:][None, :], arm))  # (nv, 3)
+        Jq = jnp.concatenate([dpt.T, dV[:, 3:].T], axis=0)  # (6, nv)
+
+        # placements: dp_f/dq_j = arm_j; dR_f/dq_j = anc skew(s_j_ang) R_f.
+        Jq_R = jnp.einsum(
+            "jab,bc->acj",
+            a_row[:, None, None] * jax.vmap(skew)(Sw[:, 3:]), R_f)
+
+        out["vel"].append(vel)
+        out["pos"].append(p_f)
+        out["R"].append(R_f)
+        out["Jq_vel"].append(Jq)
+        out["Jv_vel"].append(Jv)
+        out["Jq_pos"].append(arm.T)  # (3, nv)
+        out["Jq_R"].append(Jq_R)
+    return {k: jnp.stack(vs) for k, vs in out.items()}
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def frame_kin_ad(model, frame_names, q, v):
+    """Stacked frame kinematics (vel (nf, 6), pos (nf, 3), R (nf, 3, 3))
+    with an analytic custom JVP: one frame_kin_jac call serves every
+    tangent/cotangent instead of AD re-sweeping the fk chain per row (the
+    split-linearize velocity rows). Quaternion base only."""
+    jd = frame_kin_jac(model, frame_names, q, v)
+    return jd["vel"], jd["pos"], jd["R"]
+
+
+@frame_kin_ad.defjvp
+def _frame_kin_ad_jvp(model, frame_names, primals, tangents):
+    q, v = primals
+    dq, dv = tangents
+    jd = frame_kin_jac(model, frame_names, q, v)
+    t = _coord_to_tangent(model, q, dq)
+    dvel = jnp.einsum("fij,j->fi", jd["Jq_vel"], t) + jnp.einsum(
+        "fij,j->fi", jd["Jv_vel"], dv)
+    dpos = jnp.einsum("fij,j->fi", jd["Jq_pos"], t)
+    dR = jnp.einsum("fabj,j->fab", jd["Jq_R"], t)
+    return (jd["vel"], jd["pos"], jd["R"]), (dvel, dpos, dR)
+
+
 @functools.partial(jax.custom_jvp, nondiff_argnums=(0, 4))
 def rnea_ad(model, q, v, a, ee_frames, forces_world):
     """rnea with an analytic custom JVP: one rnea_derivatives call serves
