@@ -334,3 +334,43 @@ def test_return_work_requires_unscaled():
     cfg = ADMMConfig(iters=2, scaling_iters=1)
     with pytest.raises(ValueError, match="scaling_iters"):
         admm_solve(G, B, C, P, q, b, b, cfg, return_work=True)
+
+
+def test_assemble_c_eye_rows_specialization():
+    """assemble_blocks with c_eye_rows (the constant propagation pattern)
+    must match the dense-D path bit-for-bit in H/U, and the int-D ADMM
+    matvecs must match the dense-D matvecs."""
+    from tpu_locoman.solver.qp import (assemble_blocks, _A_matvec,
+                                       _At_matvec)
+
+    rng = np.random.default_rng(7)
+    N, m, ndx, nu, k = 4, 9, 5, 3, 5
+    s = ndx + nu
+    G = jnp.asarray(rng.standard_normal((N, m, ndx)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((N, m, nu)).astype(np.float32))
+    C_pat = np.zeros((m, ndx), dtype=np.float32)
+    C_pat[:k, :k] = np.eye(k, dtype=np.float32)
+    C = jnp.broadcast_to(jnp.asarray(C_pat), (N, m, ndx))
+    P_diag = jnp.asarray(
+        np.abs(rng.standard_normal((N + 1, s))).astype(np.float32) + 0.5)
+    box_idx = np.asarray([1, 6], dtype=np.int32)
+    rho = jnp.asarray(
+        np.abs(rng.standard_normal((N, m + 2))).astype(np.float32) + 0.1)
+
+    H0, U0, A0, D0 = assemble_blocks(G, B, C, P_diag, rho, 1e-6,
+                                     box_idx=box_idx)
+    H1, U1, A1, D1 = assemble_blocks(G, B, C, P_diag, rho, 1e-6,
+                                     box_idx=box_idx, c_eye_rows=k)
+    assert D1 == k
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A0))
+
+    X = jnp.asarray(rng.standard_normal((N + 1, s)).astype(np.float32))
+    Wv = jnp.asarray(rng.standard_normal((N, m + 2)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_A_matvec(A1, k, X, box_idx)),
+        np.asarray(_A_matvec(A0, D0, X, box_idx)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(_At_matvec(A1, k, Wv, box_idx)),
+        np.asarray(_At_matvec(A0, D0, Wv, box_idx)), atol=1e-5)

@@ -1,15 +1,10 @@
-"""Cumulative-composition profile of the MPC tick.
+"""Fine-grained QP-stage anatomy (round 4): split assemble from factorize,
+and measure one ADMM sweep's parts in context.
 
-tools/profile_tick.py times each stage as its OWN jit with captured
-inputs; those numbers do not add up to the end-to-end tick (bench.py
-admm-iteration sweeps show a ~179 ms intercept where the standalone
-stages sum to ~84 ms). This tool times nested prefixes of the REAL
-composition — each probe jit starts from the same carries and includes
-one more stage — so the cost of each stage IN CONTEXT is the delta
-between consecutive probes. Reductions force materialization without
-changing layouts.
+Cumulative prefixes like profile_cumulative.py; deltas between consecutive
+probes are the in-context stage costs.
 
-Env: BENCH_BATCH, BENCH_NODES, BENCH_ADMM_ITERS.
+Env: BENCH_BATCH, BENCH_NODES, BENCH_ADMM_ITERS, BENCH_FACTORIZER.
 """
 
 import os
@@ -43,7 +38,7 @@ def timeit(fn, *args, iters=10, label=""):
         out = fn(*args)
     np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
     dt = (time.time() - t0) / iters
-    print(f"{label:28s} {1000 * dt:8.2f} ms   (compile {compile_s:5.1f} s)",
+    print(f"{label:34s} {1000 * dt:8.2f} ms   (compile {compile_s:5.1f} s)",
           flush=True)
     return dt
 
@@ -52,43 +47,33 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     nodes = int(os.environ.get("BENCH_NODES", "14"))
     admm_iters = int(os.environ.get("BENCH_ADMM_ITERS", "10"))
-    factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
+    factorizer = os.environ.get("BENCH_FACTORIZER", "cholinv_pb")
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
-    dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
-    mpc = MPC(
-        robot,
-        dynamics=dynamics,
-        nodes=nodes,
-        config=SQPConfig(sqp_iters=1, admm=ADMMConfig(
-            iters=admm_iters, factorizer=factorizer)),
-    )
-    print(f"factorizer={factorizer} dynamics={dynamics}", flush=True)
+    mpc = MPC(robot, dynamics="whole_body_rnea", nodes=nodes,
+              config=SQPConfig(sqp_iters=1, admm=ADMMConfig(
+                  iters=admm_iters, factorizer=factorizer)))
     trans = mpc.trans
     cfg = mpc.solver.cfg
+    print(f"factorizer={factorizer} s={trans.s} m_dense={trans.m_dense} "
+          f"n_box={trans.n_box}", flush=True)
 
     carries = batched_init(mpc, batch)
     targets = jnp.tile(
-        jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32), (batch, 1)
-    )
+        jnp.array([0.2, 0, 0, 0, 0, 0], dtype=jnp.float32), (batch, 1))
     t = jnp.float32(0.0)
 
     def prefix(depth):
-        """One scenario's tick prefix; depth selects how far to go."""
-
         def fn(carry, target):
             shared = mpc.make_shared(carry.x_init, target,
                                      tau_prev=carry.tau_prev)
             sp = mpc.make_stage_params(t)
             state = carry.solver_state._replace(
-                Z=mpc.warm_start_Z(carry.solver_state.Z, sp, shared)
-            )
+                Z=mpc.warm_start_Z(carry.solver_state.Z, sp, shared))
             Z = state.Z
-            if depth == 0:  # warm start only
-                return Z.sum()
             g, G, B, C = trans.linearize(Z, sp, shared)
-            if depth == 1:  # + values/jacobians
+            if depth == 0:
                 return g.sum() + G.sum() + B.sum() + C.sum()
             obj = trans.objective_data(shared)
             P_diag = trans.hessian_diag(obj)
@@ -98,36 +83,34 @@ def main():
             rho_vec = jnp.where(u - l < 1e-7, cfg.admm.eq_boost
                                 * cfg.admm.rho, cfg.admm.rho)
             with jax.default_matmul_precision(cfg.admm.precision):
-                work = qp.prepare(G, B, C, P_diag, l, u, cfg.admm,
-                                  box_idx=trans.box_slots, rho_vec=rho_vec)
-                if depth == 2:  # + assemble + factorize
-                    return work.fac.Linv.sum() + work.fac.W.sum()
+                H, U, A, D = qp.assemble_blocks(
+                    G, B, C, P_diag, rho_vec, cfg.admm.sigma,
+                    box_idx=trans.box_slots)
+                if depth == 1:  # + assemble only
+                    return H.sum() + U.sum() + A.sum() + D.sum()
+                fac = qp.factorize(H, U, chol_impl=factorizer)
+                if depth == 2:  # + factorize
+                    return fac.Linv.sum() + fac.W.sum() + fac.V.sum()
+                work = qp.QPWork(A=A, D=D, fac=fac, rho_vec=rho_vec,
+                                 cyclic=False)
                 q_g = trans.objective_gradient(Z, obj)
                 x, z, y = qp.run_iters(
                     work, q_g, l, u, cfg.admm,
                     jnp.zeros_like(Z), state.z_admm, state.y_admm,
-                    cfg.admm.iters, box_idx=trans.box_slots,
-                )
-            if depth == 3:  # + ADMM sweeps
+                    depth - 2,  # 1 sweep at depth 3, admm_iters at 4
+                    box_idx=trans.box_slots)
                 return x.sum() + z.sum() + y.sum()
-            Znew, alpha, max_viol, _ = mpc.solver._line_search(
-                Z, x, obj, sp, shared, l_b, u_b, g
-            )
-            return Znew.sum() + max_viol  # depth 4: + line search
 
         return jax.jit(jax.vmap(fn))
 
     for depth, label in [
-        (0, "warm start"),
-        (1, "+ linearize (g,G,B,C)"),
-        (2, "+ assemble/factorize"),
-        (3, f"+ {admm_iters} admm sweeps"),
-        (4, "+ line search"),
+        (0, "linearize"),
+        (1, "+ assemble"),
+        (2, "+ factorize"),
+        (3, "+ 1 admm sweep"),
+        (2 + admm_iters, f"+ {admm_iters} admm sweeps"),
     ]:
         timeit(prefix(depth), carries, targets, label=label)
-
-    step = jax.jit(jax.vmap(lambda c, tg: mpc.step(c, t, tg)))
-    timeit(step, carries, targets, label="full step (ref)")
 
 
 if __name__ == "__main__":

@@ -92,6 +92,19 @@ class Transcription:
             slots += [self.ndx + form.tau_idx + j for j in range(nj)]
         self.box_slots = np.asarray(slots, dtype=np.int32)
 
+        # The dx_next block C is the constant propagation pattern (row m =
+        # e_m for m < n_prop_rows) for every default formulation: the QP
+        # then skips the D-side assemble einsums and streams slices instead
+        # of the dense D block in its matvecs (qp.assemble_blocks).
+        self.c_eye_rows = None
+        pat = form.dx_next_pattern()
+        if pat is not None:
+            k = form.n_prop_rows
+            expect = np.zeros_like(pat)
+            expect[:k, :k] = np.eye(k, dtype=pat.dtype)
+            if pat.shape[0] <= self.m_dense and np.array_equal(pat, expect):
+                self.c_eye_rows = int(k)
+
         # ---- split-linearize layout (analytic affine rows + jacrev on the
         # truly nonlinear rows; the reference one-shots jacobian(g, x),
         # ocp.py:283) ------------------------------------------------------

@@ -92,7 +92,8 @@ def _tri_solve(L, b, lower=True, trans=False):
     )
 
 
-def assemble_blocks(G, B, C, P_diag, rho_vec, sigma, box_idx=None):
+def assemble_blocks(G, B, C, P_diag, rho_vec, sigma, box_idx=None,
+                    c_eye_rows=None):
     """Build the tridiagonal blocks of M = P + sigma I + A^T diag(rho) A.
 
     G, B, C: (N, m, ndx), (N, m, nu), (N, m, ndx) stage Jacobians; node i's
@@ -100,28 +101,46 @@ def assemble_blocks(G, B, C, P_diag, rho_vec, sigma, box_idx=None):
     P_diag: (N+1, s) diagonal Hessian (includes the factor 2).
     rho_vec: (N, m) per-row penalty (OSQP uses 1e3 x rho on equality rows).
     Returns H (N+1, s, s) diagonal blocks and U (N, s, s) couplings.
+
+    c_eye_rows: static count k when C is the constant propagation pattern
+    (row m = e_m for m < k, zero below — every default formulation's
+    dx_next block). The D-side products then have closed forms —
+    D^T diag(rho) D = diag(rho[:k] padded) and A^T diag(rho) D =
+    (rho A)[:, :k, :]^T padded — killing two of the three big einsums,
+    and D is returned as the int k (the ADMM matvecs read/write a slice
+    instead of streaming a (N, m, s) block of zeros-and-ones from HBM
+    every sweep).
     """
     N, m, ndx = G.shape
     nu = B.shape[2]
     s = ndx + nu
 
     A = jnp.concatenate([G, B], axis=2)  # (N, m, s)
-    D = jnp.concatenate([C, jnp.zeros((N, m, nu), dtype=C.dtype)], axis=2)
 
     md = m
     rho_dense = rho_vec[:, :md]
     rA = rho_dense[:, :, None] * A
     AtA = jnp.einsum("nms,nmt->nst", rA, A)
-    DtD = jnp.einsum("nms,nmt->nst", rho_dense[:, :, None] * D, D)
-    AtD = jnp.einsum("nms,nmt->nst", rA, D)
 
     H = jnp.zeros((N + 1, s, s), dtype=G.dtype)
     H = H.at[:N].add(AtA)
-    H = H.at[1:].add(DtD)
     H = H + jax.vmap(jnp.diag)(P_diag + sigma)
     if box_idx is not None:
         # selector rows contribute rho on the diagonal of their slots
         H = H.at[:N, box_idx, box_idx].add(rho_vec[:, md:])
+
+    if c_eye_rows is not None:
+        k = c_eye_rows
+        idx = jnp.arange(k)
+        H = H.at[1:, idx, idx].add(rho_dense[:, :k])
+        U = jnp.zeros((N, s, s), dtype=G.dtype)
+        U = U.at[:, :, :k].set(jnp.swapaxes(rA[:, :k, :], 1, 2))
+        return H, U, A, k
+
+    D = jnp.concatenate([C, jnp.zeros((N, m, nu), dtype=C.dtype)], axis=2)
+    DtD = jnp.einsum("nms,nmt->nst", rho_dense[:, :, None] * D, D)
+    AtD = jnp.einsum("nms,nmt->nst", rA, D)
+    H = H.at[1:].add(DtD)
     U = AtD
     return H, U, A, D
 
@@ -516,11 +535,17 @@ def solve_factorized(fac: BlockTridiagFactor, b):
 def _A_matvec(A, D, X, box_idx=None):
     """w_i = A_i s_i + D_i s_{i+1}; X is (N+1, s) -> (N, m).
 
+    D may be a static int k (C = constant propagation pattern, see
+    assemble_blocks): D_i s_{i+1} is then a padded slice instead of a GEMM
+    against a streamed block of zeros-and-ones.
+
     box_idx: static slot indices of pure-selector (box) rows appended after
     the dense rows — their products are gathers, not GEMMs."""
-    out = jnp.einsum("nms,ns->nm", A, X[:-1]) + jnp.einsum(
-        "nms,ns->nm", D, X[1:]
-    )
+    out = jnp.einsum("nms,ns->nm", A, X[:-1])
+    if isinstance(D, int):
+        out = out.at[:, :D].add(X[1:, :D])
+    else:
+        out = out + jnp.einsum("nms,ns->nm", D, X[1:])
     if box_idx is not None:
         out = jnp.concatenate([out, X[:-1][:, box_idx]], axis=1)
     return out
@@ -533,7 +558,10 @@ def _At_matvec(A, D, W, box_idx=None):
     md = A.shape[1]
     out = jnp.zeros((N + 1, s), dtype=W.dtype)
     out = out.at[:-1].add(jnp.einsum("nms,nm->ns", A, W[:, :md]))
-    out = out.at[1:].add(jnp.einsum("nms,nm->ns", D, W[:, :md]))
+    if isinstance(D, int):
+        out = out.at[1:, :D].add(W[:, :D])
+    else:
+        out = out.at[1:].add(jnp.einsum("nms,nm->ns", D, W[:, :md]))
     if box_idx is not None:
         out = out.at[:-1, box_idx].add(W[:, md:])
     return out
@@ -768,7 +796,8 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
 
 
 def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
-               x0=None, z0=None, y0=None, box_idx=None, return_work=False):
+               x0=None, z0=None, y0=None, box_idx=None, return_work=False,
+               c_eye_rows=None):
     """Solve min 1/2 d^T P d + q^T d  s.t.  l <= A d <= u  (OSQP splitting).
 
     Returns (d, z, y): primal step (N+1, s), constraint auxiliary (N, m) and
@@ -781,7 +810,7 @@ def admm_solve(G, B, C, P_diag, q, l, u, cfg: ADMMConfig,
     """
     with jax.default_matmul_precision(cfg.precision):
         out = _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0,
-                               box_idx, return_work)
+                               box_idx, return_work, c_eye_rows)
         return out
 
 
@@ -797,17 +826,18 @@ class QPWork(NamedTuple):
 
 
 def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
-            rho_vec=None):
+            rho_vec=None, c_eye_rows=None):
     """Assemble + factorize M for the (unscaled) problem data."""
     if rho_vec is None:
         rho_vec = jnp.where(u - l < 1e-7, cfg.eq_boost * cfg.rho, cfg.rho)
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
-                                 box_idx=box_idx)
+                                 box_idx=box_idx, c_eye_rows=c_eye_rows)
     cyclic = cfg.factorizer == "cyclic"
     fac = _factorize_by_name(H, U, cfg.factorizer)
     if cfg.matvec_dtype == "bfloat16":
         A = A.astype(jnp.bfloat16)
-        D = D.astype(jnp.bfloat16)
+        if not isinstance(D, int):
+            D = D.astype(jnp.bfloat16)
     return QPWork(fac=fac, A=A, D=D, rho_vec=rho_vec, cyclic=cyclic)
 
 
@@ -833,7 +863,11 @@ def run_iters(work: QPWork, q, l, u, cfg: ADMMConfig, x, z, y, iters,
 
 
 def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx,
-                     return_work=False):
+                     return_work=False, c_eye_rows=None):
+    if cfg.scaling_iters > 0:
+        # Ruiz scaling multiplies C row/column-wise — it is no longer the
+        # pure propagation pattern, so the specialized D path is off.
+        c_eye_rows = None
     N, m, _ = G.shape  # m = dense rows; l/u may carry extra box rows
     ndx = G.shape[2]
     s = P_diag.shape[1]
@@ -866,7 +900,7 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx,
     u = u * E
 
     work = prepare(G, B, C, P_diag, l, u, cfg, box_idx=box_idx,
-                   rho_vec=rho_vec)
+                   rho_vec=rho_vec, c_eye_rows=c_eye_rows)
 
     m_rows = l.shape[1]
     x = jnp.zeros((N + 1, s), dtype=q.dtype) if x0 is None else x0 / Dc
@@ -884,7 +918,7 @@ def _admm_solve_impl(G, B, C, P_diag, q, l, u, cfg, x0, z0, y0, box_idx,
         eq = (u - l) < 1e-7
         rho_p = jnp.where(eq, cfg.polish_boost * rho_vec, rho_vec)
         work_p = prepare(G, B, C, P_diag, l, u, cfg, box_idx=box_idx,
-                         rho_vec=rho_p)
+                         rho_vec=rho_p, c_eye_rows=c_eye_rows)
         x, z, y = run_iters(work_p, q, l, u, cfg, x, z, y,
                             cfg.polish_iters, box_idx=box_idx)
 

@@ -207,15 +207,17 @@ class SQPSolver:
             l = l_b - g
             u = u_b - g
             qp_work = None
+            c_eye = getattr(t, "c_eye_rows", None)
             if want_work:
                 (d, z_new, y_new), qp_work = admm_solve(
                     G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm,
                     y0=y_admm, box_idx=t.box_slots, return_work=True,
+                    c_eye_rows=c_eye,
                 )
             else:
                 d, z_new, y_new = admm_solve(
                     G, B, C, P_diag, q, l, u, admm_cfg, z0=z_admm,
-                    y0=y_admm, box_idx=t.box_slots,
+                    y0=y_admm, box_idx=t.box_slots, c_eye_rows=c_eye,
                 )
             if cfg.kkt_polish:
                 with jax.default_matmul_precision(cfg.admm.precision):
