@@ -374,3 +374,26 @@ def test_assemble_c_eye_rows_specialization():
     np.testing.assert_allclose(
         np.asarray(_At_matvec(A1, k, Wv, box_idx)),
         np.asarray(_At_matvec(A0, D0, Wv, box_idx)), atol=1e-5)
+
+
+def test_factorize_u_cols_matches_dense():
+    """factorize(u_cols=k) on a U with only k live columns must produce
+    the same solve as the dense path (V stored as its k live columns)."""
+    from tpu_locoman.solver.qp import factorize, solve_factorized
+
+    rng = np.random.default_rng(13)
+    N1, s, k = 5, 12, 5
+    As = rng.standard_normal((N1, s, s)).astype(np.float32)
+    H = jnp.asarray(As @ As.transpose(0, 2, 1) + 8 * np.eye(s, dtype=np.float32))
+    U = np.zeros((N1 - 1, s, s), dtype=np.float32)
+    U[:, :, :k] = rng.standard_normal((N1 - 1, s, k)).astype(np.float32)
+    U = jnp.asarray(U)
+    b = jnp.asarray(rng.standard_normal((N1, s)).astype(np.float32))
+
+    x_dense = solve_factorized(factorize(H, U), b)
+    fac_k = factorize(H, U, u_cols=k)
+    assert fac_k.V.shape[-1] == k
+    x_k = solve_factorized(fac_k, b)
+    np.testing.assert_allclose(
+        np.asarray(x_k), np.asarray(x_dense),
+        atol=1e-4 * (np.abs(np.asarray(x_dense)).max() + 1))

@@ -83,7 +83,10 @@ class BlockTridiagFactor(NamedTuple):
 
     Linv: jnp.ndarray  # (N+1, s, s)
     W: jnp.ndarray  # (N+1, s, s), W_0 = 0
-    V: jnp.ndarray  # (N+1, s, s), V_N = 0
+    V: jnp.ndarray  # (N+1, s, k), V_N = 0; k < s when U had only k
+    #                 nonzero columns (the c_eye_rows propagation pattern:
+    #                 V's remaining columns are structurally zero, so the
+    #                 backward scan reads x_{i+1}[:k] only)
 
 
 def _tri_solve(L, b, lower=True, trans=False):
@@ -343,7 +346,7 @@ def chol_blocked(S, panels=3):
     return jnp.concatenate(cols, axis=-1)
 
 
-def factorize(H, U, chol_impl="blocked", base=16):
+def factorize(H, U, chol_impl="blocked", base=16, u_cols=None):
     """Blocked Cholesky of the tridiagonal M via lax.scan.
 
     M = L L^T with L block lower-bidiagonal: L_{ii} = L_i,
@@ -359,14 +362,22 @@ def factorize(H, U, chol_impl="blocked", base=16):
       - "cholinv_pb": chol_inv with the lane-batched Pallas base kernel
         (solver/pallas_base.py) — the base blocks for the whole scenario
         batch in one kernel call per recursion leaf.
+
+    u_cols: static count k when only U[:, :, :k] is nonzero (the
+    c_eye_rows propagation pattern, assemble_blocks): F/W/V and the Schur
+    update then run as skinny GEMMs (105^3-shaped products drop to
+    105^2 x 48 / 48^2 x 105 — roughly half the factorize flops at the
+    flagship shape) and V is stored as its k live columns.
     """
     s = H.shape[1]
     base_impl = "pallas" if chol_impl == "cholinv_pb" else "xla"
+    k = s if u_cols is None else u_cols
+    U = U if u_cols is None else U[:, :, :k]
 
     def step(carry, inp):
-        prev_F = carry  # F_{i-1} (or zeros for i=0)
+        prev_F = carry  # F_{i-1} (or zeros for i=0), (s, k)
         H_i, U_i = inp
-        S = H_i - prev_F.T @ prev_F
+        S = H_i.at[:k, :k].add(-(prev_F.T @ prev_F))
         # f32 jitter: keeps the Schur complements SPD under roundoff
         S = S + 1e-6 * jnp.eye(s, dtype=H.dtype)
         if chol_impl.startswith("cholinv"):
@@ -377,16 +388,18 @@ def factorize(H, U, chol_impl="blocked", base=16):
         F_i = Linv_i @ U_i
         return F_i, (Linv_i, F_i)
 
-    U_pad = jnp.concatenate([U, jnp.zeros((1, s, s), dtype=H.dtype)], axis=0)
+    U_pad = jnp.concatenate([U, jnp.zeros((1, s, k), dtype=H.dtype)], axis=0)
     _, (Linv, F) = lax.scan(
-        step, jnp.zeros((s, s), dtype=H.dtype), (H, U_pad)
+        step, jnp.zeros((s, k), dtype=H.dtype), (H, U_pad)
     )
     # Pre-multiplied scan couplings (see BlockTridiagFactor): node-parallel
     # GEMMs here buy one-matvec scan steps in every subsequent solve.
+    # W_i = Linv_i F_{i-1}^T has only k live columns in the product's inner
+    # dim (F's dead columns are zero), so it contracts over k.
     F_prev = jnp.concatenate(
-        [jnp.zeros((1, s, s), dtype=H.dtype), F[:-1]], axis=0
+        [jnp.zeros((1, s, k), dtype=H.dtype), F[:-1]], axis=0
     )
-    W = jnp.einsum("nij,nkj->nik", Linv, F_prev)
+    W = jnp.einsum("nik,njk->nij", Linv[:, :, :k], F_prev)
     # F's last entry is Linv_N @ 0 = 0, so V_N = 0 falls out for free.
     V = jnp.einsum("nji,njk->nik", Linv, F)
     return BlockTridiagFactor(Linv=Linv, W=W, V=V)
@@ -523,9 +536,11 @@ def solve_factorized(fac: BlockTridiagFactor, b):
 
     T = jnp.einsum("nji,nj->ni", fac.Linv, Y)
 
+    kv = fac.V.shape[-1]  # < s when U had only kv nonzero columns
+
     def bwd(x_next, inp):
         V_i, t_i = inp
-        x_i = t_i - V_i @ x_next
+        x_i = t_i - V_i @ x_next[:kv]
         return x_i, x_i
 
     _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (fac.V, T), reverse=True)
@@ -685,7 +700,7 @@ def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
     return -Pinv * (q + Atl)
 
 
-def _factorize_by_name(H, U, factorizer="sequential"):
+def _factorize_by_name(H, U, factorizer="sequential", u_cols=None):
     """Factorizer dispatch shared by prepare/kkt_polish/eq_project."""
     if factorizer == "auto":
         factorizer = ("cholinv_pb" if target_platform() == "tpu"
@@ -705,8 +720,8 @@ def _factorize_by_name(H, U, factorizer="sequential"):
     if factorizer == "cyclic":
         return factorize_cyclic(H, U)
     if factorizer in ("cholinv", "cholinv_pb"):
-        return factorize(H, U, chol_impl=factorizer)
-    return factorize(H, U)
+        return factorize(H, U, chol_impl=factorizer, u_cols=u_cols)
+    return factorize(H, U, u_cols=u_cols)
 
 
 def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
@@ -833,7 +848,8 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
                                  box_idx=box_idx, c_eye_rows=c_eye_rows)
     cyclic = cfg.factorizer == "cyclic"
-    fac = _factorize_by_name(H, U, cfg.factorizer)
+    u_cols = c_eye_rows if cfg.factorizer not in ("pallas", "cyclic") else None
+    fac = _factorize_by_name(H, U, cfg.factorizer, u_cols=u_cols)
     if cfg.matvec_dtype == "bfloat16":
         A = A.astype(jnp.bfloat16)
         if not isinstance(D, int):
