@@ -48,6 +48,7 @@ def main():
     line_search = os.environ.get("BENCH_LINE_SEARCH", "1") == "1"
     corrector = int(os.environ.get("BENCH_CORRECTOR", "0"))
     eqproj = int(os.environ.get("BENCH_EQPROJ", "0"))
+    flip_reset = os.environ.get("BENCH_FLIP_RESET", "1") == "1"
     # On-device scan rollout (mpc.run): amortizes the per-call host round
     # trip (dominant over the axon tunnel at batch 1), so scan_ms_per_tick
     # is the honest on-robot per-tick latency vs the reference's ~10 ms
@@ -78,6 +79,7 @@ def main():
         robot,
         dynamics=dynamics,
         nodes=nodes,
+        flip_reset=flip_reset,
         config=SQPConfig(
             sqp_iters=sqp_iters,
             n_trials=ls_trials,
@@ -186,6 +188,7 @@ def main():
             "ls_trials": ls_trials,
             "line_search": line_search,
             "corrector": corrector,
+            "flip_reset": flip_reset,
             "eqproj": eqproj,
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),

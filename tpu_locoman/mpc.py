@@ -56,6 +56,7 @@ class MPC:
         swing_height=0.07,
         swing_vel_limits=(0.1, -0.2),
         config: SQPConfig = SQPConfig(),
+        flip_reset=True,
         **form_kwargs,
     ):
         assert robot.gait_sequence is not None, "call robot.set_gait_sequence first"
@@ -72,6 +73,7 @@ class MPC:
         self.trans = Transcription(self.form, nodes)
         self.solver = SQPSolver(self.trans, config)
         self.nodes = nodes
+        self.flip_reset = flip_reset
         self.dt_min = dt_min
         self.dt_max = dt_max
         self.swing_height = swing_height
@@ -172,12 +174,14 @@ class MPC:
         )
 
     def step(self, carry: MPCCarry, t_current, base_vel_des,
-             ext_force_des=None, arm_vel_des=None, stage_params=None):
+             ext_force_des=None, arm_vel_des=None, stage_params=None,
+             prev_stage_params=None):
         """One MPC tick (run_mpc.py:69-113).
 
         stage_params overrides the internally generated schedules — e.g. to
         mix gait types across a vmapped scenario batch (each scenario feeds
-        its own contact/swing schedules)."""
+        its own contact/swing schedules); prev_stage_params (optional)
+        supplies the previous tick's schedules for the flip reset below."""
         shared = self.make_shared(
             carry.x_init, base_vel_des, ext_force_des, arm_vel_des,
             tau_prev=carry.tau_prev,
@@ -185,9 +189,34 @@ class MPC:
         sp = stage_params if stage_params is not None else (
             self.make_stage_params(t_current)
         )
-        warm = carry.solver_state._replace(
-            Z=self.warm_start_Z(carry.solver_state.Z, sp, shared)
-        )
+        Z = self.warm_start_Z(carry.solver_state.Z, sp, shared)
+
+        # Flip reset: when a contact switch crosses a node boundary between
+        # ticks, the carried acceleration slots of that node were optimized
+        # for the OTHER contact state and one warm-started SQP iteration
+        # can't fully repair them — the gait-transition violation spike.
+        # Zeroing the a slots of flipped nodes cuts the spike ~30% at zero
+        # runtime cost (tools/flip_reset_probe.py: go2 N8 hot config mean
+        # 0.094 -> 0.081, worst 0.418 -> 0.290; duals are NOT the cause,
+        # see dual_reset_probe).
+        na = getattr(self.form, "na_opt", 0)
+        if self.flip_reset and na > 0:
+            if prev_stage_params is not None:
+                prev_contact = prev_stage_params.contact
+            elif stage_params is None:
+                prev_contact = self.make_stage_params(
+                    t_current - self.dt_min).contact
+            else:
+                prev_contact = None
+            if prev_contact is not None:
+                flipped = jnp.any(sp.contact != prev_contact, axis=1)
+                node_mask = jnp.concatenate(
+                    [flipped, jnp.zeros(1, dtype=bool)])[:, None]
+                ndx = self.form.ndx
+                Z = jnp.where(
+                    node_mask, Z.at[:, ndx:ndx + na].set(0.0), Z)
+
+        warm = carry.solver_state._replace(Z=Z)
         new_state, stats = self.solver.solve(warm, sp, shared)
 
         ndx = self.form.ndx
