@@ -888,7 +888,13 @@ def _derivs_batch(model, ee_frames, with_forces, q, v, a, fw=None):
 
     mode = os.environ.get("TPU_LOCOMAN_DERIVS", "auto")
     if mode == "auto":
-        mode = "pallas" if target_platform() == "tpu" else "flat"
+        # Below one 128-lane tile the kernel is mostly padding and its
+        # fixed call cost dominates (batch-1 accurate scan: 15.0 ms/tick
+        # with the kernel vs ~9 with the XLA path) — the lane-major XLA
+        # pass wins at small flat batch.
+        small = q.shape[0] < 128
+        mode = "pallas" if (target_platform() == "tpu" and not small) \
+            else "flat"
     if mode == "pallas":
         from .pallas_rbda import rnea_derivatives_pallas
 
