@@ -13,10 +13,54 @@ whole_body_rnea, trot 0.8 s, N=14, dt 0.01->0.08.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 
+def _wait_for_tpu():
+    """Block until the axon TPU backend initializes (or a deadline passes).
+
+    Rounds 2 and 4 both ended with the driver's bench run failing rc=1 on
+    "Unable to initialize backend 'axon'" during a transient pool outage,
+    discarding an entire round's verified performance. Backend-init failure
+    is sticky in-process (xla_bridge caches it), so probe in a fresh
+    subprocess and only proceed in THIS process once a probe succeeds.
+
+    Controlled by BENCH_TPU_WAIT_S (default 1800 s; 0 disables). After the
+    deadline we proceed anyway so the real error surfaces honestly.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() in ("cpu",):
+        return
+    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    probe = "import jax; jax.devices()[0]"
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=600,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                print(f"bench: TPU backend up after {attempt} probes",
+                      file=sys.stderr)
+            return
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print("bench: TPU wait deadline passed; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print(f"bench: TPU backend unavailable (probe {attempt}); "
+              f"retrying for {int(remaining)}s more", file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 def main():
+    _wait_for_tpu()
     import jax
 
     # Persistent compilation cache: bench reruns skip the (minutes-long)
