@@ -86,6 +86,7 @@ def main():
     qp_precision = os.environ.get("BENCH_QP_PRECISION", "highest")
     factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
     matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
+    factor_dtype = os.environ.get("BENCH_FACTOR_DTYPE", "float32")
     dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
     donate = os.environ.get("BENCH_DONATE", "1") == "1"
     ls_trials = int(os.environ.get("BENCH_LS_TRIALS", "8"))
@@ -132,7 +133,8 @@ def main():
             eq_projection=eqproj,
             admm=ADMMConfig(iters=admm_iters, precision=qp_precision,
                             factorizer=factorizer,
-                            matvec_dtype=matvec_dtype),
+                            matvec_dtype=matvec_dtype,
+                            factor_dtype=factor_dtype),
         ),
     )
 
@@ -229,6 +231,7 @@ def main():
             "qp_precision": qp_precision,
             "factorizer": factorizer,
             "matvec_dtype": matvec_dtype,
+            "factor_dtype": factor_dtype,
             "ls_trials": ls_trials,
             "line_search": line_search,
             "corrector": corrector,

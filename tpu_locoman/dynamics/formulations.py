@@ -550,6 +550,15 @@ class WholeBodyRNEA(_AccStateFormulation):
         tau_j = u[self.tau_idx:]
         return {"q": q, "v": v, "a": a, "forces": forces, "tau_j": tau_j}
 
+    def aba_dyn(self, q, v, tau_j, forces):
+        """Forward dynamics with zero base torque — used by the "aba"
+        flip-reset mode (mpc.py): since RNEA(q, v, ABA(q, v, tau, f), f)
+        = tau identically, seeding a flipped node's acceleration slots
+        with ABA zeroes that node's RNEA-row residuals at the warm-start
+        point exactly (base rows AND torque-equality rows)."""
+        tau = jnp.concatenate([jnp.zeros(6), tau_j])
+        return rbda.aba(self.model, q, v, tau, self.ee_frames, forces)
+
     def dyn_nl_idx(self):
         if not self.include_acc:
             return None  # fd accelerations couple the RNEA rows to dx_next

@@ -198,7 +198,15 @@ class MPC:
         # Zeroing the a slots of flipped nodes cuts the spike ~30% at zero
         # runtime cost (tools/flip_reset_probe.py: go2 N8 hot config mean
         # 0.094 -> 0.081, worst 0.418 -> 0.290; duals are NOT the cause,
-        # see dual_reset_probe).
+        # see dual_reset_probe). flip_reset="aba" instead seeds the
+        # flipped nodes' a slots with ABA(q, v, tau, f_warmstart) —
+        # RNEA(q, v, ABA(q, v, tau, f), f) = tau identically, so those
+        # nodes' RNEA rows start at ~zero residual. MEASURED WORSE than
+        # zeroing (go2 N8 hot config worst 0.29 -> 1.95,
+        # tools/flip_mode_probe.py): the consistent accelerations are
+        # violent at fresh swing feet (near-zero force = free fall) and
+        # blow up the kinematic propagation rows instead. Kept as the
+        # recorded negative result; the default stays "zero".
         na = getattr(self.form, "na_opt", 0)
         if self.flip_reset and na > 0:
             if prev_stage_params is not None:
@@ -213,8 +221,23 @@ class MPC:
                 node_mask = jnp.concatenate(
                     [flipped, jnp.zeros(1, dtype=bool)])[:, None]
                 ndx = self.form.ndx
-                Z = jnp.where(
-                    node_mask, Z.at[:, ndx:ndx + na].set(0.0), Z)
+                if (self.flip_reset == "aba"
+                        and hasattr(self.form, "aba_dyn")):
+                    form = self.form
+
+                    def node_a(z):
+                        d = form.decode(shared.x_init, z[:ndx], z[ndx:])
+                        return form.aba_dyn(
+                            d["q"], d["v"], d["tau_j"], d["forces"])
+
+                    a_new = jax.vmap(node_a)(Z[:-1])
+                    a_pad = jnp.concatenate(
+                        [a_new, jnp.zeros((1, na), dtype=Z.dtype)], axis=0)
+                    Z = jnp.where(
+                        node_mask, Z.at[:, ndx:ndx + na].set(a_pad), Z)
+                else:
+                    Z = jnp.where(
+                        node_mask, Z.at[:, ndx:ndx + na].set(0.0), Z)
 
         warm = carry.solver_state._replace(Z=Z)
         new_state, stats = self.solver.solve(warm, sp, shared)

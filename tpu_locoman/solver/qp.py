@@ -55,7 +55,23 @@ class ADMMConfig(NamedTuple):
     factorizer: str = "auto"
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
+    # The Jacobian blocks are rounded to bf16 BEFORE assembling M so the
+    # factorized operator matches the matvec operator exactly — the
+    # round-1 bf16 failure (violation 445) was the f32-factor/bf16-matvec
+    # mismatch destabilizing the splitting iteration. Consistent rounding
+    # fixes the instability but still costs quality on the flagship
+    # rollout (viol mean 0.21 -> 0.33 and drifting, tools/dtype_probe.py
+    # round 5) for only the A-stream's ~25% of sweep traffic: measured
+    # NOT worth it; keep float32.
     matvec_dtype: str = "float32"
+    # Storage dtype for the factor blocks (Linv/W/V) read by every
+    # solve_factorized sweep. "bfloat16" DIVERGES (viol ~1e8,
+    # tools/dtype_probe.py): rounding the factor after the fact makes the
+    # x-update an inexact solve of M with a ~0.4% systematic error that
+    # compounds through the 2(N+1)-step back-substitution and feeds back
+    # through the splitting iteration. Kept only as the recorded negative
+    # result; float32 is the only sound setting.
+    factor_dtype: str = "float32"
     # Equality-polish phase (OSQP's `polish` analog, accurate mode): after
     # the main iterations, refactorize with equality rho boosted by
     # polish_boost and run polish_iters more sweeps — drives the equality
@@ -523,28 +539,58 @@ def solve_factorized(fac: BlockTridiagFactor, b):
     The Linv applications are node-parallel batched GEMMs hoisted out of
     the scans; each sequential scan step is a single matvec against the
     pre-multiplied W/V couplings — half the critical-path work of the
-    textbook back-substitution (and no triangular solves anywhere)."""
+    textbook back-substitution (and no triangular solves anywhere).
+
+    When the factor blocks are stored bf16 (ADMMConfig.factor_dtype), the
+    scan matvecs run as native bf16 x bf16 MXU products with f32
+    accumulation — the solve becomes the exact solve of a bf16-rounded M,
+    i.e. an inexact-ADMM x-update (accepted where the violation budget
+    tolerates it; the factorization itself always runs f32)."""
     s = b.shape[1]
-    Pb = jnp.einsum("nij,nj->ni", fac.Linv, b)
+    bf16 = fac.Linv.dtype == jnp.bfloat16
+    f32 = b.dtype
+
+    def mv(M_i, v):
+        if bf16:
+            return jnp.matmul(M_i, v.astype(jnp.bfloat16),
+                              preferred_element_type=f32)
+        return M_i @ v
+
+    Pb = _bmv(fac.Linv, b, "nij,nj->ni")
 
     def fwd(y_prev, inp):
         W_i, pb_i = inp
-        y_i = pb_i - W_i @ y_prev
+        y_i = pb_i - mv(W_i, y_prev)
         return y_i, y_i
 
-    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=b.dtype), (fac.W, Pb))
+    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=f32), (fac.W, Pb))
 
-    T = jnp.einsum("nji,nj->ni", fac.Linv, Y)
+    if bf16:
+        T = jnp.einsum("nji,nj->ni", fac.Linv, Y.astype(jnp.bfloat16),
+                       preferred_element_type=f32)
+    else:
+        T = jnp.einsum("nji,nj->ni", fac.Linv, Y)
 
     kv = fac.V.shape[-1]  # < s when U had only kv nonzero columns
 
     def bwd(x_next, inp):
         V_i, t_i = inp
-        x_i = t_i - V_i @ x_next[:kv]
+        x_i = t_i - mv(V_i, x_next[:kv])
         return x_i, x_i
 
-    _, X = lax.scan(bwd, jnp.zeros(s, dtype=b.dtype), (fac.V, T), reverse=True)
+    _, X = lax.scan(bwd, jnp.zeros(s, dtype=f32), (fac.V, T), reverse=True)
     return X
+
+
+def _bmv(blocks, vec, spec):
+    """Batched block matvec; when blocks are stored bf16, feed the MXU a
+    native bf16 x bf16 product with f32 accumulation (the vector cast is
+    free next to the block stream; a mixed-dtype einsum would upcast the
+    blocks to f32 in HBM instead, forfeiting the bandwidth win)."""
+    if blocks.dtype == jnp.bfloat16:
+        return jnp.einsum(spec, blocks, vec.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(spec, blocks, vec)
 
 
 def _A_matvec(A, D, X, box_idx=None):
@@ -556,11 +602,11 @@ def _A_matvec(A, D, X, box_idx=None):
 
     box_idx: static slot indices of pure-selector (box) rows appended after
     the dense rows — their products are gathers, not GEMMs."""
-    out = jnp.einsum("nms,ns->nm", A, X[:-1])
+    out = _bmv(A, X[:-1], "nms,ns->nm")
     if isinstance(D, int):
         out = out.at[:, :D].add(X[1:, :D])
     else:
-        out = out + jnp.einsum("nms,ns->nm", D, X[1:])
+        out = out + _bmv(D, X[1:], "nms,ns->nm")
     if box_idx is not None:
         out = jnp.concatenate([out, X[:-1][:, box_idx]], axis=1)
     return out
@@ -572,11 +618,11 @@ def _At_matvec(A, D, W, box_idx=None):
     s = A.shape[2]
     md = A.shape[1]
     out = jnp.zeros((N + 1, s), dtype=W.dtype)
-    out = out.at[:-1].add(jnp.einsum("nms,nm->ns", A, W[:, :md]))
+    out = out.at[:-1].add(_bmv(A, W[:, :md], "nms,nm->ns"))
     if isinstance(D, int):
         out = out.at[1:, :D].add(W[:, :D])
     else:
-        out = out.at[1:].add(jnp.einsum("nms,nm->ns", D, W[:, :md]))
+        out = out.at[1:].add(_bmv(D, W[:, :md], "nms,nm->ns"))
     if box_idx is not None:
         out = out.at[:-1, box_idx].add(W[:, md:])
     return out
@@ -845,6 +891,14 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
     """Assemble + factorize M for the (unscaled) problem data."""
     if rho_vec is None:
         rho_vec = jnp.where(u - l < 1e-7, cfg.eq_boost * cfg.rho, cfg.rho)
+    if cfg.matvec_dtype == "bfloat16":
+        # Round the Jacobian blocks BEFORE assembly so M is built from
+        # exactly the operator the sweeps will apply — a factor/matvec
+        # mismatch destabilizes the splitting iteration (round-1 ledger:
+        # violation 445 from bf16 matvecs against an f32 factor).
+        G = G.astype(jnp.bfloat16).astype(G.dtype)
+        B = B.astype(jnp.bfloat16).astype(B.dtype)
+        C = C.astype(jnp.bfloat16).astype(C.dtype)
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
                                  box_idx=box_idx, c_eye_rows=c_eye_rows)
     cyclic = cfg.factorizer == "cyclic"
@@ -854,6 +908,12 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
         A = A.astype(jnp.bfloat16)
         if not isinstance(D, int):
             D = D.astype(jnp.bfloat16)
+    if cfg.factor_dtype == "bfloat16" and not cyclic:
+        fac = BlockTridiagFactor(
+            Linv=fac.Linv.astype(jnp.bfloat16),
+            W=fac.W.astype(jnp.bfloat16),
+            V=fac.V.astype(jnp.bfloat16),
+        )
     return QPWork(fac=fac, A=A, D=D, rho_vec=rho_vec, cyclic=cyclic)
 
 
