@@ -35,11 +35,17 @@ def main():
     corr = int(os.environ.get("FMP_CORRECTOR", "5"))
     ls = int(os.environ.get("FMP_LS", "4"))
 
-    for mode in (False, True, "aba"):
+    combos = os.environ.get(
+        "FMP_MODES", "none,zero,aba,shift,zero+shift").split(",")
+    modes = {"none": False, "zero": True, "aba": "aba", "shift": False}
+    for combo in combos:
+        parts = combo.split("+")
+        mode = modes[parts[0]]
+        shift = parts[0] == "shift" or "shift" in parts[1:]
         robot = {"go2": Go2, "b2g": B2G}[name]()
         robot.set_gait_sequence("trot", 0.8)
         mpc = MPC(robot, dynamics="whole_body_rnea", nodes=nodes,
-                  flip_reset=mode,
+                  flip_reset=mode, warm_shift=shift,
                   config=SQPConfig(sqp_iters=1, n_trials=ls,
                                    corrector_iters=corr,
                                    admm=ADMMConfig(iters=admm)))

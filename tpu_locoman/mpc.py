@@ -57,6 +57,7 @@ class MPC:
         swing_vel_limits=(0.1, -0.2),
         config: SQPConfig = SQPConfig(),
         flip_reset=True,
+        warm_shift=False,
         **form_kwargs,
     ):
         assert robot.gait_sequence is not None, "call robot.set_gait_sequence first"
@@ -74,6 +75,7 @@ class MPC:
         self.solver = SQPSolver(self.trans, config)
         self.nodes = nodes
         self.flip_reset = flip_reset
+        self.warm_shift = warm_shift
         self.dt_min = dt_min
         self.dt_max = dt_max
         self.swing_height = swing_height
@@ -139,6 +141,50 @@ class MPC:
         )
 
     # ------------------------------------------------------------------
+    def _shift_Z(self, Z, x_old, x_new):
+        """Time-consistent warm-start shift (warm_shift=True).
+
+        The reference warm-starts each node with the SAME node's previous
+        solution (ocp_whole_body_rnea.py:207-235) — after a dt_min tick
+        every node's iterate is dt_min STALE in wall-clock time, which is
+        what the gait-transition spike feeds on (the schedule marches,
+        the iterate doesn't). Since the node-time grid is static
+        (geometric dts), the previous solution can instead be linearly
+        interpolated at each node's advanced time t_i + dt_min with
+        compile-time-constant gather indices/weights, and the dx tangents
+        rebased from the old anchor state onto the new one:
+
+            dx'_i = difference(x_new, integrate(x_old, interp_i(dx)))
+
+        Node 0 lands exactly on the executed node-1 state, so dx'_0 = 0
+        holds by construction."""
+        form = self.form
+        ndx = form.ndx
+        N = self.nodes
+        told = np.concatenate([[0.0], np.cumsum(np.asarray(self.dts))])
+        # dx grid: N+1 nodes at times told
+        j = np.clip(np.searchsorted(told, told + self.dt_min) - 1, 0, N - 1)
+        w = np.clip((told + self.dt_min - told[j])
+                    / (told[j + 1] - told[j]), 0.0, 1.0)
+        j = jnp.asarray(j, dtype=jnp.int32)
+        w = jnp.asarray(w, dtype=Z.dtype)[:, None]
+        dx = Z[:, :ndx]
+        dx_i = (1.0 - w) * dx[j] + w * dx[j + 1]
+        dx_s = jax.vmap(
+            lambda d: form.difference(x_new, form.integrate(x_old, d))
+        )(dx_i)
+        # u grid: N nodes at times told[:N] (terminal node has no u)
+        ju = np.clip(np.searchsorted(told[:N], told[:N] + self.dt_min) - 1,
+                     0, N - 2)
+        wu = np.clip((told[:N] + self.dt_min - told[ju])
+                     / (told[ju + 1] - told[ju]), 0.0, 1.0)
+        ju = jnp.asarray(ju, dtype=jnp.int32)
+        wu = jnp.asarray(wu, dtype=Z.dtype)[:, None]
+        u = Z[:N, ndx:]
+        u_i = (1.0 - wu) * u[ju] + wu * u[jnp.minimum(ju + 1, N - 1)]
+        u_s = jnp.concatenate([u_i, Z[N:, ndx:]], axis=0)
+        return jnp.concatenate([dx_s, u_s], axis=1)
+
     def warm_start_Z(self, Z, sp: StageParams, shared):
         """Reset the force slots of the warm start to the (contact-masked)
         gravity-split targets, keeping previous dx / velocity / torque
@@ -247,9 +293,17 @@ class MPC:
         x_next = self.form.integrate(carry.x_init, DX1)
 
         if getattr(self.form, "tau_idx", None) is not None:
+            # tau_prev reads the UNSHIFTED solution's node 1 (the executed
+            # torque hand-off, run_mpc.py:111) — keep it before the shift.
             tau_prev = new_state.Z[1, ndx + self.form.tau_idx:]
         else:
             tau_prev = carry.tau_prev
+
+        if self.warm_shift:
+            # Store the next tick's warm start already time-shifted and
+            # rebased onto the state we just advanced to (see _shift_Z).
+            new_state = new_state._replace(
+                Z=self._shift_Z(new_state.Z, carry.x_init, x_next))
 
         return MPCCarry(x_next, new_state, tau_prev), stats
 

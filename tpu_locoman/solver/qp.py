@@ -556,6 +556,11 @@ def solve_factorized(fac: BlockTridiagFactor, b):
                               preferred_element_type=f32)
         return M_i @ v
 
+    # The scan bodies are single small matvecs; fully unrolling them trades
+    # a little compile time for zero While-loop overhead on the sweep's
+    # critical path (the horizon is short and static: N+1 <= ~31).
+    unroll = fac.W.shape[0] <= 32
+
     Pb = _bmv(fac.Linv, b, "nij,nj->ni")
 
     def fwd(y_prev, inp):
@@ -563,7 +568,8 @@ def solve_factorized(fac: BlockTridiagFactor, b):
         y_i = pb_i - mv(W_i, y_prev)
         return y_i, y_i
 
-    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=f32), (fac.W, Pb))
+    _, Y = lax.scan(fwd, jnp.zeros(s, dtype=f32), (fac.W, Pb),
+                    unroll=unroll)
 
     if bf16:
         T = jnp.einsum("nji,nj->ni", fac.Linv, Y.astype(jnp.bfloat16),
@@ -578,7 +584,8 @@ def solve_factorized(fac: BlockTridiagFactor, b):
         x_i = t_i - mv(V_i, x_next[:kv])
         return x_i, x_i
 
-    _, X = lax.scan(bwd, jnp.zeros(s, dtype=f32), (fac.V, T), reverse=True)
+    _, X = lax.scan(bwd, jnp.zeros(s, dtype=f32), (fac.V, T), reverse=True,
+                    unroll=unroll)
     return X
 
 
