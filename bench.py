@@ -87,6 +87,7 @@ def main():
     factorizer = os.environ.get("BENCH_FACTORIZER", "sequential")
     matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
     factor_dtype = os.environ.get("BENCH_FACTOR_DTYPE", "float32")
+    chol_base = int(os.environ.get("BENCH_CHOL_BASE", "16"))
     dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
     donate = os.environ.get("BENCH_DONATE", "1") == "1"
     ls_trials = int(os.environ.get("BENCH_LS_TRIALS", "8"))
@@ -94,6 +95,7 @@ def main():
     corrector = int(os.environ.get("BENCH_CORRECTOR", "0"))
     eqproj = int(os.environ.get("BENCH_EQPROJ", "0"))
     flip_reset = os.environ.get("BENCH_FLIP_RESET", "1") == "1"
+    warm_shift = os.environ.get("BENCH_WARM_SHIFT", "0") == "1"
     # On-device scan rollout (mpc.run): amortizes the per-call host round
     # trip (dominant over the axon tunnel at batch 1), so scan_ms_per_tick
     # is the honest on-robot per-tick latency vs the reference's ~10 ms
@@ -117,6 +119,8 @@ def main():
             corrector = int(ship.get("corrector", corrector))
         if "BENCH_ADMM_ITERS" not in os.environ:
             admm_iters = int(ship.get("admm_iters", admm_iters))
+        if "BENCH_WARM_SHIFT" not in os.environ:
+            warm_shift = bool(ship.get("warm_shift", warm_shift))
 
     robot = B2G()
     robot.set_gait_sequence("trot", 0.8)
@@ -125,6 +129,7 @@ def main():
         dynamics=dynamics,
         nodes=nodes,
         flip_reset=flip_reset,
+        warm_shift=warm_shift,
         config=SQPConfig(
             sqp_iters=sqp_iters,
             n_trials=ls_trials,
@@ -134,7 +139,8 @@ def main():
             admm=ADMMConfig(iters=admm_iters, precision=qp_precision,
                             factorizer=factorizer,
                             matvec_dtype=matvec_dtype,
-                            factor_dtype=factor_dtype),
+                            factor_dtype=factor_dtype,
+                            chol_base=chol_base),
         ),
     )
 
@@ -232,10 +238,12 @@ def main():
             "factorizer": factorizer,
             "matvec_dtype": matvec_dtype,
             "factor_dtype": factor_dtype,
+            "chol_base": chol_base,
             "ls_trials": ls_trials,
             "line_search": line_search,
             "corrector": corrector,
             "flip_reset": flip_reset,
+            "warm_shift": warm_shift,
             "eqproj": eqproj,
             "timed_ticks": timed_ticks,
             "elapsed_s": round(elapsed, 3),

@@ -363,7 +363,12 @@ def test_assemble_c_eye_rows_specialization():
                                      box_idx=box_idx, c_eye_rows=k)
     assert D1 == k
     np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0), atol=1e-5)
+    # the c_eye path returns U skinny: its k live columns must match the
+    # dense U's, whose remaining columns are structurally zero
+    assert U1.shape == (N, s, k)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0[:, :, :k]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(U0[:, :, k:]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(A1), np.asarray(A0))
 
     X = jnp.asarray(rng.standard_normal((N + 1, s)).astype(np.float32))

@@ -53,6 +53,12 @@ class ADMMConfig(NamedTuple):
     # best at batch 1, serializes the batch on the TensorCore otherwise;
     # falls back to the interpreter off TPU).
     factorizer: str = "auto"
+    # Base-case width of the recursive chol_inv (cholinv/cholinv_pb
+    # factorizers): the recursion bottoms out into the lane-batched Pallas
+    # kernel (or the XLA unrolled chain) at blocks <= chol_base. A larger
+    # base means fewer, bigger kernel launches per node — the factorize
+    # scan is launch-latency-bound, not compute-bound.
+    chol_base: int = 16
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
     # The Jacobian blocks are rounded to bf16 BEFORE assembling M so the
@@ -141,20 +147,33 @@ def assemble_blocks(G, B, C, P_diag, rho_vec, sigma, box_idx=None,
     rA = rho_dense[:, :, None] * A
     AtA = jnp.einsum("nms,nmt->nst", rA, A)
 
+    if c_eye_rows is not None:
+        # One (N+1, s, s) materialization + ONE diagonal scatter: all the
+        # diagonal contributions (P + sigma, the D^T rho D identity rows,
+        # the box-selector rho) are accumulated in an (N+1, s) vector
+        # first — the naive three .at[] adds each round-trip the full H
+        # through HBM (~2 GB at the flagship batch).
+        k = c_eye_rows
+        diag = P_diag + sigma
+        diag = diag.at[1:, :k].add(rho_dense[:, :k])
+        if box_idx is not None:
+            diag = diag.at[:N, box_idx].add(rho_vec[:, md:])
+        H = jnp.concatenate(
+            [AtA, jnp.zeros((1, s, s), dtype=G.dtype)], axis=0)
+        idx = jnp.arange(s)
+        H = H.at[:, idx, idx].add(diag)
+        # U has only k live columns (the propagation pattern): return it
+        # skinny — factorize consumes exactly these columns, and the full
+        # (N, s, s) block was pure zero-padding traffic.
+        U = jnp.swapaxes(rA[:, :k, :], 1, 2)  # (N, s, k)
+        return H, U, A, k
+
     H = jnp.zeros((N + 1, s, s), dtype=G.dtype)
     H = H.at[:N].add(AtA)
     H = H + jax.vmap(jnp.diag)(P_diag + sigma)
     if box_idx is not None:
         # selector rows contribute rho on the diagonal of their slots
         H = H.at[:N, box_idx, box_idx].add(rho_vec[:, md:])
-
-    if c_eye_rows is not None:
-        k = c_eye_rows
-        idx = jnp.arange(k)
-        H = H.at[1:, idx, idx].add(rho_dense[:, :k])
-        U = jnp.zeros((N, s, s), dtype=G.dtype)
-        U = U.at[:, :, :k].set(jnp.swapaxes(rA[:, :k, :], 1, 2))
-        return H, U, A, k
 
     D = jnp.concatenate([C, jnp.zeros((N, m, nu), dtype=C.dtype)], axis=2)
     DtD = jnp.einsum("nms,nmt->nst", rho_dense[:, :, None] * D, D)
@@ -387,8 +406,9 @@ def factorize(H, U, chol_impl="blocked", base=16, u_cols=None):
     """
     s = H.shape[1]
     base_impl = "pallas" if chol_impl == "cholinv_pb" else "xla"
-    k = s if u_cols is None else u_cols
-    U = U if u_cols is None else U[:, :, :k]
+    # U may arrive already skinny (assemble_blocks' c_eye_rows path).
+    k = U.shape[2] if u_cols is None else u_cols
+    U = U if U.shape[2] == k else U[:, :, :k]
 
     def step(carry, inp):
         prev_F = carry  # F_{i-1} (or zeros for i=0), (s, k)
@@ -753,7 +773,7 @@ def kkt_polish(G, B, C, P_diag, q, l, u, z, box_idx=None,
     return -Pinv * (q + Atl)
 
 
-def _factorize_by_name(H, U, factorizer="sequential", u_cols=None):
+def _factorize_by_name(H, U, factorizer="sequential", u_cols=None, base=16):
     """Factorizer dispatch shared by prepare/kkt_polish/eq_project."""
     if factorizer == "auto":
         factorizer = ("cholinv_pb" if target_platform() == "tpu"
@@ -773,7 +793,8 @@ def _factorize_by_name(H, U, factorizer="sequential", u_cols=None):
     if factorizer == "cyclic":
         return factorize_cyclic(H, U)
     if factorizer in ("cholinv", "cholinv_pb"):
-        return factorize(H, U, chol_impl=factorizer, u_cols=u_cols)
+        return factorize(H, U, chol_impl=factorizer, u_cols=u_cols,
+                         base=base)
     return factorize(H, U, u_cols=u_cols)
 
 
@@ -909,8 +930,12 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
     H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
                                  box_idx=box_idx, c_eye_rows=c_eye_rows)
     cyclic = cfg.factorizer == "cyclic"
-    u_cols = c_eye_rows if cfg.factorizer not in ("pallas", "cyclic") else None
-    fac = _factorize_by_name(H, U, cfg.factorizer, u_cols=u_cols)
+    if cfg.factorizer in ("pallas", "cyclic") and U.shape[2] < H.shape[1]:
+        # these factorizers take the full-width coupling block
+        U = jnp.concatenate(
+            [U, jnp.zeros(U.shape[:2] + (H.shape[1] - U.shape[2],),
+                          dtype=U.dtype)], axis=2)
+    fac = _factorize_by_name(H, U, cfg.factorizer, base=cfg.chol_base)
     if cfg.matvec_dtype == "bfloat16":
         A = A.astype(jnp.bfloat16)
         if not isinstance(D, int):
