@@ -34,6 +34,9 @@ def main():
                     help="serve a live 3D viewer and stream ticks to it "
                          "(the MeshCat live-display analog)")
     ap.add_argument("--live-port", type=int, default=8765)
+    ap.add_argument("--warm-shift", action="store_true",
+                    help="time-consistent warm-start shift (halves "
+                    "gait-transition violation spikes; see mpc._shift_Z)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +49,7 @@ def main():
         robot,
         dynamics=args.dynamics,
         nodes=args.nodes,
+        warm_shift=args.warm_shift,
         config=SQPConfig(
             sqp_iters=args.sqp_iters, admm=ADMMConfig(iters=args.admm_iters)
         ),

@@ -121,3 +121,32 @@ def test_walk_gait_rollout():
     assert np.all(np.isfinite(x))
     assert np.all(np.abs(x[:, 2] - 0.35) < 0.06)  # height held
     assert np.all(np.abs(x[:, 3:6]) < 0.25)  # orientation bounded
+
+
+def test_warm_shift_rollout():
+    """warm_shift=True (time-consistent warm-start shift, mpc._shift_Z):
+    the rollout must stay upright and its violations must not degrade vs
+    the unshifted warm start (it HALVES transition spikes on the hot
+    config, tools/flip_mode_probe.py — here we assert non-degradation on
+    a cheap config)."""
+    stats = {}
+    for shift in (False, True):
+        robot = Go2()
+        robot.set_gait_sequence("trot", 0.5)
+        mpc = MPC(
+            robot,
+            dynamics="whole_body_rnea",
+            nodes=6,
+            warm_shift=shift,
+            config=SQPConfig(sqp_iters=1, n_trials=4, corrector_iters=5,
+                             admm=ADMMConfig(iters=10)),
+        )
+        carry, outs = jax.jit(
+            lambda m=mpc: m.run(25, jnp.array([0.2, 0, 0, 0, 0, 0])))()
+        x = np.asarray(outs["x"])
+        assert np.all(np.abs(x[:, 2] - 0.35) < 0.06)
+        stats[shift] = np.asarray(outs["max_violation"])
+    assert np.isfinite(stats[True]).all()
+    # shift must not make the rollout meaningfully worse
+    assert stats[True].mean() <= 1.25 * stats[False].mean() + 1e-3
+    assert stats[True].max() <= 1.25 * stats[False].max() + 1e-3
