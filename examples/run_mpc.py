@@ -34,9 +34,12 @@ def main():
                     help="serve a live 3D viewer and stream ticks to it "
                          "(the MeshCat live-display analog)")
     ap.add_argument("--live-port", type=int, default=8765)
-    ap.add_argument("--warm-shift", action="store_true",
+    ap.add_argument("--warm-shift", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="time-consistent warm-start shift (halves "
-                    "gait-transition violation spikes; see mpc._shift_Z)")
+                    "gait-transition violation spikes; see mpc._shift_Z). "
+                    "On by default; --no-warm-shift for the reference's "
+                    "same-node warm start")
     args = ap.parse_args()
 
     import jax

@@ -57,7 +57,7 @@ class MPC:
         swing_vel_limits=(0.1, -0.2),
         config: SQPConfig = SQPConfig(),
         flip_reset=True,
-        warm_shift=False,
+        warm_shift=True,
         **form_kwargs,
     ):
         assert robot.gait_sequence is not None, "call robot.set_gait_sequence first"
