@@ -402,3 +402,48 @@ def test_factorize_u_cols_matches_dense():
     np.testing.assert_allclose(
         np.asarray(x_k), np.asarray(x_dense),
         atol=1e-4 * (np.abs(np.asarray(x_dense)).max() + 1))
+
+
+@pytest.mark.parametrize("S_", [15, 16, 8, 5])
+def test_babe_solve_matches_sequential(S_):
+    """The burn-at-both-ends factorizer (factorize_babe/solve_babe) must
+    match the sequential block-tridiagonal solve to f32 roundoff, for odd
+    and even horizon lengths (chain padding) and with skinny U."""
+    from tpu_locoman.solver.qp import factorize_babe, solve_babe
+
+    rng = np.random.default_rng(11)
+    s, k = 9, 4
+    H = rng.standard_normal((S_, s, s)).astype(np.float32)
+    H = H @ np.swapaxes(H, 1, 2) + 10 * np.eye(s, dtype=np.float32)
+    U = np.zeros((S_ - 1, s, s), dtype=np.float32)
+    U[:, :, :k] = rng.standard_normal((S_ - 1, s, k)).astype(np.float32)
+    b = rng.standard_normal((S_, s)).astype(np.float32)
+
+    fac_seq = factorize(jnp.asarray(H), jnp.asarray(U))
+    x_seq = np.asarray(solve_factorized(fac_seq, jnp.asarray(b)))
+
+    for Uin in (jnp.asarray(U), jnp.asarray(U[:, :, :k])):  # full + skinny
+        fac_b = factorize_babe(jnp.asarray(H), Uin)
+        x_b = np.asarray(solve_babe(fac_b, jnp.asarray(b)))
+        np.testing.assert_allclose(x_b, x_seq, rtol=2e-3, atol=2e-4)
+
+
+def test_babe_admm_matches_sequential_in_context():
+    """admm_solve with factorizer='babe' must produce the same solution as
+    the sequential factorizer on a random stage QP."""
+    rng = np.random.default_rng(3)
+    G, B, C, P = random_blocks(rng)
+    N, m, _ = G.shape
+    q = jnp.asarray(rng.normal(size=(N + 1, P.shape[1])), dtype=jnp.float32)
+    l = jnp.asarray(rng.normal(size=(N, m)) - 2.0, dtype=jnp.float32)
+    u = l + jnp.asarray(np.abs(rng.normal(size=(N, m))) + 0.5,
+                        dtype=jnp.float32)
+    from tpu_locoman.solver.qp import ADMMConfig, admm_solve
+
+    outs = {}
+    for fz in ("sequential", "babe"):
+        cfg = ADMMConfig(iters=150, factorizer=fz, scaling_iters=0)
+        x, z, y = admm_solve(G, B, C, P, q, l, u, cfg)
+        outs[fz] = np.asarray(x)
+    np.testing.assert_allclose(outs["babe"], outs["sequential"],
+                               rtol=1e-3, atol=1e-4)

@@ -301,7 +301,13 @@ def _chol_inv_base_cv_vmap(axis_size, in_batched, S):
         L, dinv = _chol_base_unrolled(S)
         return _tri_inv_doubling(L, dinv), False
     interpret = target_platform() != "tpu"
-    return chol_inv_base_batched(S, interpret=interpret), True
+    # S may carry extra leading dims besides the vmapped axis (e.g. the
+    # BABE factorizer's 2-chain axis): flatten them all into the kernel's
+    # batch and restore after.
+    lead = S.shape[:-2]
+    out = chol_inv_base_batched(
+        S.reshape((-1,) + S.shape[-2:]), interpret=interpret)
+    return out.reshape(lead + S.shape[-2:]), True
 
 
 def chol_inv(S, base=16, base_impl="xla"):
@@ -620,6 +626,144 @@ def _bmv(blocks, vec, spec):
     return jnp.einsum(spec, blocks, vec)
 
 
+class BabeFactor(NamedTuple):
+    """Two-chain "burn-at-both-ends" Cholesky of the block-tridiagonal M.
+
+    The horizon is eliminated from BOTH ends simultaneously toward a
+    middle separator node p = S//2 (one-level nested dissection, aka the
+    twisted/BABE factorization): the left chain (nodes 0..p-1) and the
+    MIRRORED right chain (nodes S-1..p+1, couplings U^T) run as ONE
+    lax.scan with a 2-wide chain axis, so the sequential depth of the
+    factorization scan and of every ADMM back-substitution HALVES. The
+    scans are launch-latency-bound, not flop-bound (RESULTS.md round-5
+    anatomy: factorize ~10x its bandwidth floor), which is why cyclic
+    reduction lost (log-depth but 2.4x flops) while this costs only ~15%
+    extra flops (the mirrored chain's couplings are dense, so both chains
+    give up the u_cols skinny structure inside the scan).
+
+    Chain step t holds node t (left) / node S-1-t (right); a shorter
+    chain is front-padded with identity nodes (Linv=I, coupling 0 —
+    eliminated first, contributing nothing).
+
+    Reference context: the role of Fatrop's Riccati recursion over the
+    horizon (SURVEY.md §2.3 "horizon parallelism"; ref optimization/
+    ocp.py:248-263 hot loop), parallelized across the stage dimension.
+    """
+
+    Linv: jnp.ndarray      # (d, 2, s, s) per-step inverse Cholesky blocks
+    W: jnp.ndarray         # (d, 2, s, s)  Linv_t @ P_{t-1}^T (fwd coupling)
+    V: jnp.ndarray         # (d, 2, s, s)  Linv_t^T @ P_t (bwd coupling)
+    Pfin: jnp.ndarray      # (2, s, s) whitened couplings into the separator
+    Linv_sep: jnp.ndarray  # (s, s) separator inverse Cholesky
+
+
+def factorize_babe(H, U, chol_impl="cholinv", base=16):
+    """BABE factorization of the SPD block tridiagonal (see BabeFactor).
+
+    H: (S, s, s) diagonal blocks; U: (S-1, s, k) couplings (k live
+    columns accepted — padded dense internally, the mirrored chain needs
+    U^T anyway).
+    """
+    S_, s = H.shape[0], H.shape[1]
+    k = U.shape[2]
+    base_impl = "pallas" if chol_impl == "cholinv_pb" else "xla"
+    p = S_ // 2
+    nl, nr = p, S_ - 1 - p
+    d = max(nl, nr)
+    dt = H.dtype
+    if k < s:
+        U = jnp.concatenate(
+            [U, jnp.zeros((S_ - 1, s, s - k), dtype=dt)], axis=2)
+    eye = jnp.eye(s, dtype=dt)
+
+    HL, CL = H[:p], U[:p]                       # left: node t, coupling U_t
+    HR = H[p + 1:][::-1]                        # right: node S-1-t
+    CR = jnp.swapaxes(U[p:], 1, 2)[::-1]        # coupling U_{S-2-t}^T
+    if nl < d:
+        HL = jnp.concatenate(
+            [jnp.broadcast_to(eye, (d - nl, s, s)), HL], axis=0)
+        CL = jnp.concatenate(
+            [jnp.zeros((d - nl, s, s), dtype=dt), CL], axis=0)
+    if nr < d:
+        HR = jnp.concatenate(
+            [jnp.broadcast_to(eye, (d - nr, s, s)), HR], axis=0)
+        CR = jnp.concatenate(
+            [jnp.zeros((d - nr, s, s), dtype=dt), CR], axis=0)
+    Hs = jnp.stack([HL, HR], axis=1)            # (d, 2, s, s)
+    Cs = jnp.stack([CL, CR], axis=1)
+
+    def step(P_prev, inp):
+        H_t, C_t = inp
+        Ssch = H_t - jnp.einsum("cji,cjl->cil", P_prev, P_prev)
+        Ssch = Ssch + 1e-6 * eye
+        _, Linv_t = chol_inv(Ssch, base, base_impl)
+        P_t = jnp.einsum("cij,cjk->cik", Linv_t, C_t)
+        return P_t, (Linv_t, P_t)
+
+    Pfin, (Linv, Pout) = lax.scan(
+        step, jnp.zeros((2, s, s), dtype=dt), (Hs, Cs))
+
+    Ssep = (H[p] - Pfin[0].T @ Pfin[0] - Pfin[1].T @ Pfin[1]
+            + 1e-6 * eye)
+    _, Linv_sep = chol_inv(Ssep, base, base_impl)
+
+    # Premultiplied scan couplings (same trick as BlockTridiagFactor):
+    # node-parallel GEMMs here buy one-matvec scan steps in every solve.
+    P_prev_seq = jnp.concatenate(
+        [jnp.zeros((1, 2, s, s), dtype=dt), Pout[:-1]], axis=0)
+    W = jnp.einsum("dcik,dcjk->dcij", Linv, P_prev_seq)
+    V = jnp.einsum("dcji,dcjk->dcik", Linv, Pout)
+    return BabeFactor(Linv=Linv, W=W, V=V, Pfin=Pfin, Linv_sep=Linv_sep)
+
+
+def solve_babe(fac: BabeFactor, b):
+    """Solve M x = b given the BABE factor; b is (S, s).
+
+    Critical path: one depth-d 2-chain fwd scan, the separator solve, one
+    depth-d 2-chain bwd scan — ~half of solve_factorized's 2(S-1) steps.
+    """
+    S_, s = b.shape
+    d = fac.Linv.shape[0]
+    p = S_ // 2
+    nl, nr = p, S_ - 1 - p
+    dt = b.dtype
+
+    bl = b[:p]
+    br = b[p + 1:][::-1]
+    if nl < d:
+        bl = jnp.concatenate([jnp.zeros((d - nl, s), dtype=dt), bl], axis=0)
+    if nr < d:
+        br = jnp.concatenate([jnp.zeros((d - nr, s), dtype=dt), br], axis=0)
+    bs = jnp.stack([bl, br], axis=1)            # (d, 2, s)
+
+    unroll = d <= 32
+    Pb = jnp.einsum("dcij,dcj->dci", fac.Linv, bs)
+
+    def fwd(y_prev, inp):
+        W_t, pb_t = inp
+        y_t = pb_t - jnp.einsum("cij,cj->ci", W_t, y_prev)
+        return y_t, y_t
+
+    y_fin, Y = lax.scan(fwd, jnp.zeros((2, s), dtype=dt), (fac.W, Pb),
+                        unroll=unroll)
+
+    b_sep = b[p] - fac.Pfin[0].T @ y_fin[0] - fac.Pfin[1].T @ y_fin[1]
+    x_sep = fac.Linv_sep.T @ (fac.Linv_sep @ b_sep)
+
+    T = jnp.einsum("dcji,dcj->dci", fac.Linv, Y)
+
+    def bwd(x_next, inp):
+        V_t, t_t = inp
+        x_t = t_t - jnp.einsum("cij,cj->ci", V_t, x_next)
+        return x_t, x_t
+
+    _, X = lax.scan(bwd, jnp.stack([x_sep, x_sep]), (fac.V, T),
+                    reverse=True, unroll=unroll)
+    xl = X[d - nl:, 0]
+    xr = X[d - nr:, 1][::-1]
+    return jnp.concatenate([xl, x_sep[None], xr], axis=0)
+
+
 def _A_matvec(A, D, X, box_idx=None):
     """w_i = A_i s_i + D_i s_{i+1}; X is (N+1, s) -> (N, m).
 
@@ -792,6 +936,10 @@ def _factorize_by_name(H, U, factorizer="sequential", u_cols=None, base=16):
         return factorize_pallas(H, U, interpret=interpret)
     if factorizer == "cyclic":
         return factorize_cyclic(H, U)
+    if factorizer in ("babe", "babe_pb"):
+        return factorize_babe(
+            H, U, chol_impl="cholinv_pb" if factorizer == "babe_pb"
+            else "cholinv", base=base)
     if factorizer in ("cholinv", "cholinv_pb"):
         return factorize(H, U, chol_impl=factorizer, u_cols=u_cols,
                          base=base)
@@ -869,12 +1017,13 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
     fac = _factorize_by_name(
         S_diag, S_off,
         factorizer if factorizer in ("pallas", "cholinv", "cholinv_pb",
-                                     "auto")
+                                     "auto", "babe", "babe_pb")
         else "sequential",
     )
-    lam = solve_factorized(fac, rhs)
+    solve = solve_babe if isinstance(fac, BabeFactor) else solve_factorized
+    lam = solve(fac, rhs)
     for _ in range(refine):
-        lam = lam + solve_factorized(fac, rhs - S_matvec(lam))
+        lam = lam + solve(fac, rhs - S_matvec(lam))
     lam = lam * dscale
 
     # delta = Pinv A^T lam  (sign: A Pinv A^T lam = r  =>  A delta = r)
@@ -940,7 +1089,7 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
         A = A.astype(jnp.bfloat16)
         if not isinstance(D, int):
             D = D.astype(jnp.bfloat16)
-    if cfg.factor_dtype == "bfloat16" and not cyclic:
+    if cfg.factor_dtype == "bfloat16" and isinstance(fac, BlockTridiagFactor):
         fac = BlockTridiagFactor(
             Linv=fac.Linv.astype(jnp.bfloat16),
             W=fac.W.astype(jnp.bfloat16),
@@ -952,7 +1101,12 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
 def run_iters(work: QPWork, q, l, u, cfg: ADMMConfig, x, z, y, iters,
               box_idx=None):
     """Fixed-count ADMM sweeps on prepared data (OSQP splitting)."""
-    solve = solve_cyclic if work.cyclic else solve_factorized
+    if work.cyclic:
+        solve = solve_cyclic
+    elif isinstance(work.fac, BabeFactor):
+        solve = solve_babe
+    else:
+        solve = solve_factorized
     rho_vec = work.rho_vec
 
     def body(_, carry):
