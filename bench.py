@@ -88,6 +88,7 @@ def main():
     matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE", "float32")
     factor_dtype = os.environ.get("BENCH_FACTOR_DTYPE", "float32")
     chol_base = int(os.environ.get("BENCH_CHOL_BASE", "16"))
+    asm_precision = os.environ.get("BENCH_ASM_PRECISION", "highest")
     dynamics = os.environ.get("BENCH_DYNAMICS", "whole_body_rnea")
     donate = os.environ.get("BENCH_DONATE", "1") == "1"
     ls_trials = int(os.environ.get("BENCH_LS_TRIALS", "8"))
@@ -140,7 +141,8 @@ def main():
                             factorizer=factorizer,
                             matvec_dtype=matvec_dtype,
                             factor_dtype=factor_dtype,
-                            chol_base=chol_base),
+                            chol_base=chol_base,
+                            assemble_precision=asm_precision),
         ),
     )
 
@@ -239,6 +241,7 @@ def main():
             "matvec_dtype": matvec_dtype,
             "factor_dtype": factor_dtype,
             "chol_base": chol_base,
+            "asm_precision": asm_precision,
             "ls_trials": ls_trials,
             "line_search": line_search,
             "corrector": corrector,

@@ -59,6 +59,13 @@ class ADMMConfig(NamedTuple):
     # base means fewer, bigger kernel launches per node — the factorize
     # scan is launch-latency-bound, not compute-bound.
     chol_base: int = 16
+    # Matmul precision for ASSEMBLY only (the A^T rho A einsum building
+    # M). Unlike rounding the factor (factor_dtype — diverges) or the
+    # matvec operator, a slightly-perturbed M is still factorized
+    # EXACTLY and consistently — the x-update solves a ~1e-6-perturbed
+    # SPD system, indistinguishable from f32 roundoff. "high"
+    # (BF16_BF16_F32_X3) halves the einsum's pass count.
+    assemble_precision: str = "highest"
     # Storage dtype for the A/D blocks in the per-iteration matvecs
     # ("bfloat16" halves their HBM traffic; accumulation stays f32).
     # The Jacobian blocks are rounded to bf16 BEFORE assembling M so the
@@ -1076,8 +1083,9 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
         G = G.astype(jnp.bfloat16).astype(G.dtype)
         B = B.astype(jnp.bfloat16).astype(B.dtype)
         C = C.astype(jnp.bfloat16).astype(C.dtype)
-    H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
-                                 box_idx=box_idx, c_eye_rows=c_eye_rows)
+    with jax.default_matmul_precision(cfg.assemble_precision):
+        H, U, A, D = assemble_blocks(G, B, C, P_diag, rho_vec, cfg.sigma,
+                                     box_idx=box_idx, c_eye_rows=c_eye_rows)
     cyclic = cfg.factorizer == "cyclic"
     if cfg.factorizer in ("pallas", "cyclic") and U.shape[2] < H.shape[1]:
         # these factorizers take the full-width coupling block
