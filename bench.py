@@ -27,12 +27,24 @@ def _wait_for_tpu():
     is sticky in-process (xla_bridge caches it), so probe in a fresh
     subprocess and only proceed in THIS process once a probe succeeds.
 
-    Controlled by BENCH_TPU_WAIT_S (default 1800 s; 0 disables). After the
-    deadline we proceed anyway so the real error surfaces honestly.
+    The probe only ENUMERATES devices (no compute/compile is dispatched),
+    so timing out and killing the probe subprocess does not abandon an
+    in-flight compile/execute — the kill-mid-work wedge mode (CLAUDE.md)
+    needs a compute lease the probe never takes. Enumeration also fails
+    fast during a pool outage (the observed round-2/4 failure mode);
+    note it can still SUCCEED on a wedged-but-enumerable device, in
+    which case the bench itself hangs honestly afterwards.
+
+    Controlled by BENCH_TPU_WAIT_S (default 1800 s; <= 0 disables the
+    guard entirely — no probe is spawned). After the deadline we proceed
+    anyway so the real error surfaces honestly.
     """
     if os.environ.get("JAX_PLATFORMS", "").lower() in ("cpu",):
         return
-    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    if wait_s <= 0:
+        return
+    deadline = time.time() + wait_s
     probe = "import jax; jax.devices()[0]"
     attempt = 0
     while True:
@@ -40,7 +52,7 @@ def _wait_for_tpu():
         try:
             rc = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                timeout=600,
+                timeout=120,
             ).returncode
         except subprocess.TimeoutExpired:
             rc = -1

@@ -17,7 +17,9 @@ import numpy as np
 def main():
     import jax
 
-    if jax.default_backend() != "cpu":
+    # Do NOT consult jax.default_backend() here: it initializes the pinned
+    # axon backend and takes the TPU claim for a CPU-only probe.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("FMP_CACHE", "/tmp/jax_cache_cpu2"))
@@ -57,8 +59,9 @@ def main():
             carry, stats = step(carry, jnp.float32(k * mpc.dt_min))
             viols.append(float(stats["max_violation"]))
         v = np.asarray(viols)
-        print(f"flip_reset={str(mode):6s} mean {v.mean():.4f}  "
-              f"median {np.median(v):.4f}  worst {v.max():.4f}", flush=True)
+        print(f"{combo:12s} (flip_reset={mode} warm_shift={shift}) "
+              f"mean {v.mean():.4f}  median {np.median(v):.4f}  "
+              f"worst {v.max():.4f}", flush=True)
         print("   per-tick:", np.round(v, 3).tolist(), flush=True)
 
 

@@ -1,8 +1,10 @@
 """Where does assemble's ~13 ms go? Times the AtA einsum at the flagship
-shape under each matmul precision, plus the H-diagonal construction, in
-isolation (chained carries so the relay doesn't pollute).
+shape under each matmul precision, plus the H-diagonal construction.
 
-Run on TPU: python tools/microbench_assemble.py
+WARNING (round-5 lesson, CLAUDE.md): standalone jits measured over the
+axon tunnel produced numbers ~1000x off (2 s for a 13 ms op) — only
+in-context prefix deltas (tools/profile_qp.py) are trustworthy there.
+Kept for local-CPU relative comparisons only.
 """
 
 import os
@@ -25,7 +27,6 @@ def timeit(label, fn, *args, iters=20):
     out = fn_j(*args)
     np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
     t0 = time.time()
-    o = args
     for _ in range(iters):
         out = fn_j(*args)
     np.asarray(jax.device_get(jax.tree.leaves(out)[0]))

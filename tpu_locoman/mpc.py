@@ -174,14 +174,16 @@ class MPC:
             lambda d: form.difference(x_new, form.integrate(x_old, d))
         )(dx_i)
         # u grid: N nodes at times told[:N] (terminal node has no u)
+        # nodes >= 2 guaranteed by geometric_dts at construction
         ju = np.clip(np.searchsorted(told[:N], told[:N] + self.dt_min) - 1,
                      0, N - 2)
         wu = np.clip((told[:N] + self.dt_min - told[ju])
                      / (told[ju + 1] - told[ju]), 0.0, 1.0)
+        ju1 = jnp.asarray(ju + 1, dtype=jnp.int32)  # <= N-1 by the clip
         ju = jnp.asarray(ju, dtype=jnp.int32)
         wu = jnp.asarray(wu, dtype=Z.dtype)[:, None]
         u = Z[:N, ndx:]
-        u_i = (1.0 - wu) * u[ju] + wu * u[jnp.minimum(ju + 1, N - 1)]
+        u_i = (1.0 - wu) * u[ju] + wu * u[ju1]
         u_s = jnp.concatenate([u_i, Z[N:, ndx:]], axis=0)
         return jnp.concatenate([dx_s, u_s], axis=1)
 

@@ -954,7 +954,7 @@ def _factorize_by_name(H, U, factorizer="sequential", u_cols=None, base=16):
 
 
 def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
-               refine=2, factorizer="sequential"):
+               refine=2, factorizer="sequential", base=16):
     """Minimum-norm correction zeroing the masked (equality) rows.
 
         delta_z = argmin 1/2 d^T Mw d   s.t.   (A d)_row = resid_row  (W=1)
@@ -1026,6 +1026,7 @@ def eq_project(G, B, C, P_diag, resid, W, sigma=1e-6, delta=1e-7,
         factorizer if factorizer in ("pallas", "cholinv", "cholinv_pb",
                                      "auto", "babe", "babe_pb")
         else "sequential",
+        base=base,
     )
     solve = solve_babe if isinstance(fac, BabeFactor) else solve_factorized
     lam = solve(fac, rhs)
@@ -1097,12 +1098,22 @@ def prepare(G, B, C, P_diag, l, u, cfg: ADMMConfig, box_idx=None,
         A = A.astype(jnp.bfloat16)
         if not isinstance(D, int):
             D = D.astype(jnp.bfloat16)
-    if cfg.factor_dtype == "bfloat16" and isinstance(fac, BlockTridiagFactor):
-        fac = BlockTridiagFactor(
-            Linv=fac.Linv.astype(jnp.bfloat16),
-            W=fac.W.astype(jnp.bfloat16),
-            V=fac.V.astype(jnp.bfloat16),
-        )
+    if cfg.factor_dtype == "bfloat16":
+        if isinstance(fac, BlockTridiagFactor):
+            fac = BlockTridiagFactor(
+                Linv=fac.Linv.astype(jnp.bfloat16),
+                W=fac.W.astype(jnp.bfloat16),
+                V=fac.V.astype(jnp.bfloat16),
+            )
+        else:
+            # Don't silently report a bf16-factor run that actually ran
+            # f32 (would corrupt A/B probes).
+            import warnings
+
+            warnings.warn(
+                f"factor_dtype='bfloat16' is only implemented for the "
+                f"sequential/cholinv factorizers; ignored for "
+                f"{type(fac).__name__}", stacklevel=2)
     return QPWork(fac=fac, A=A, D=D, rho_vec=rho_vec, cyclic=cyclic)
 
 

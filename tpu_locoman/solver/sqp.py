@@ -330,7 +330,8 @@ class SQPSolver:
                     W = (eq_rows & (row_norm > 1e-8)).astype(Z.dtype)
                     r = l_b[:, :md] - g_now[:, :md]
                     dlt = eq_project(Gf, Bf, Cf, P_diag, r, W,
-                                     factorizer=cfg.admm.factorizer)
+                                     factorizer=cfg.admm.factorizer,
+                                     base=cfg.admm.chol_base)
                     Z = Z + dlt
                     g_try = t.evaluate(Z, stage_params, shared)
                     viol_try = jnp.max(
